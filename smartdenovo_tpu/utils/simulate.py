@@ -1,0 +1,93 @@
+"""Synthetic noisy long-read simulator for tests and benchmarks.
+
+The reference ships no automated tests (SURVEY.md §4); golden acceptance is
+an end-to-end E. coli run.  We create the test pyramid ourselves: simulate
+a genome, sample noisy reads (PacBio-like indel-heavy error profile),
+assemble, and check the assembly reconstructs the genome.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def random_genome(rng: np.random.Generator, length: int) -> np.ndarray:
+    return rng.integers(0, 4, size=length, dtype=np.int64).astype(np.uint8)
+
+
+def mutate_read(rng: np.random.Generator, seq: np.ndarray, err: float,
+                sub_frac: float = 0.2, ins_frac: float = 0.45, del_frac: float = 0.35) -> np.ndarray:
+    """Apply a PacBio-like error profile: mostly indels, some substitutions."""
+    if err <= 0:
+        return seq.copy()
+    out = []
+    p_sub = err * sub_frac
+    p_ins = err * ins_frac
+    p_del = err * del_frac
+    r = rng.random(len(seq) * 2)
+    ri = 0
+    ins_bases = rng.integers(0, 4, size=len(seq), dtype=np.int64)
+    sub_shift = rng.integers(1, 4, size=len(seq), dtype=np.int64)
+    ii = 0
+    for j in range(len(seq)):
+        x = r[ri]
+        ri += 1
+        if x < p_del:
+            continue
+        elif x < p_del + p_ins:
+            out.append(int(ins_bases[ii]))
+            out.append(int(seq[j]))
+            ii += 1
+        elif x < p_del + p_ins + p_sub:
+            out.append((int(seq[j]) + int(sub_shift[ii])) % 4)
+            ii += 1
+        else:
+            out.append(int(seq[j]))
+    return np.array(out, dtype=np.uint8)
+
+
+def simulate_reads(
+    genome: np.ndarray,
+    coverage: float,
+    mean_len: int,
+    err: float,
+    seed: int = 1,
+    circular: bool = False,
+    min_len: int = 1000,
+) -> tuple[list[str], list[np.ndarray]]:
+    """Sample noisy reads to the given coverage.  Returns (names, code arrays)."""
+    rng = np.random.default_rng(seed)
+    glen = len(genome)
+    total_needed = int(coverage * glen)
+    names: list[str] = []
+    seqs: list[np.ndarray] = []
+    total = 0
+    i = 0
+    g2 = np.concatenate([genome, genome]) if circular else genome
+    while total < total_needed:
+        ln = int(rng.gamma(4.0, mean_len / 4.0))
+        ln = max(min_len, min(ln, glen if not circular else glen))
+        if circular:
+            start = int(rng.integers(0, glen))
+        else:
+            start = int(rng.integers(0, max(1, glen - ln + 1)))
+        frag = g2[start : start + ln]
+        if len(frag) < min_len:
+            continue
+        read = mutate_read(rng, frag, err)
+        if rng.random() < 0.5:
+            read = (3 - read[::-1]).astype(np.uint8)
+        names.append(f"sim{i:08d}_{start}_{ln}")
+        seqs.append(read)
+        total += len(read)
+        i += 1
+    return names, seqs
+
+
+def write_sim_fasta(path: str, names: list[str], seqs: list[np.ndarray]) -> None:
+    from ..data.readbank import codes_to_seq
+    from ..io.fasta import write_fasta
+
+    with open(path, "w") as fh:
+        for n, s in zip(names, seqs):
+            write_fasta(fh, n, codes_to_seq(s))
