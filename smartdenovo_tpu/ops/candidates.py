@@ -1,0 +1,159 @@
+"""Candidate selection — batched device kernel.
+
+TPU-native replacement for the k-way heap-merge candidate scan
+`query_wtzmo` (reference wtzmo.c:433-573).  Instead of merging posting
+lists with a heap per read, a whole batch of query reads is processed at
+once: posting ranges come from vectorised binary search into the sorted
+index, a fixed-budget expansion materialises (query, candidate) seed
+events, and a sort + segmented scan computes the same non-overlapping
+covered-length score ("ol") per (query, candidate, dir).  Top-A selection
+(wtzmo.c:500-571 candidate min-heap) becomes a sort + rank mask.
+
+Reference filter semantics preserved:
+  - candidates longer than 1.2x the query are skipped (wtzmo.c:489)
+  - per (candidate,dir) ol accumulates non-overlapping query coverage
+    (wtzmo.c:559-563), dirs merged by max (x1/x2 logic :525-535)
+  - candidates need ol >= kovl (:525)
+  - an explicit suppression list replaces the closed_alns ledger
+    (wtzmo.c:813-820): pairs already attempted by an earlier query
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.int32(0x7FFFFFFF)
+
+
+def _binary_search_rows(table: jnp.ndarray, row_ids: jnp.ndarray, values: jnp.ndarray,
+                        row_cnt: jnp.ndarray) -> jnp.ndarray:
+    """Membership test of values in per-row sorted arrays via manual bisect.
+
+    table: [Q, S] sorted int32 rows (padded with INT32_MAX)
+    row_ids/values: [N] — for each element, the row and the probe value.
+    Returns bool [N]: value present in table[row, :row_cnt[row]].
+    """
+    S = table.shape[1]
+    if S == 0:
+        return jnp.zeros(values.shape, bool)
+    steps = max(1, (S - 1).bit_length())
+    lo = jnp.zeros(values.shape, jnp.int32)
+    hi = jnp.minimum(row_cnt[row_ids], S).astype(jnp.int32)
+    for _ in range(steps + 1):
+        mid = (lo + hi) >> 1
+        mv = table[row_ids, jnp.clip(mid, 0, S - 1)]
+        go_right = (mv < values) & (mid < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, jnp.where(mid < hi, mid, hi))
+    found = table[row_ids, jnp.clip(lo, 0, S - 1)] == values
+    return found & (lo < jnp.minimum(row_cnt[row_ids], S))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("budget", "ncand", "kovl", "len_ratio")
+)
+def scan_candidates(
+    qkmer: jnp.ndarray,   # [Q, L] uint32 canonical kmers (compressed-pos space)
+    qoff: jnp.ndarray,    # [Q, L] int32 raw offsets
+    qspan: jnp.ndarray,   # [Q, L] int32 raw spans
+    qvalid: jnp.ndarray,  # [Q, L] bool
+    qrids: jnp.ndarray,   # [Q] int32 global read ids of queries
+    qlens: jnp.ndarray,   # [Q] int32 query lengths
+    qskip: jnp.ndarray,   # [Q] bool — skip whole read (nbest early stop)
+    idx_kmers: jnp.ndarray,  # [P] uint32 sorted
+    post_rd: jnp.ndarray,    # [P] int32
+    post_dir: jnp.ndarray,   # [P] int8 occurrence strand
+    read_lens: jnp.ndarray,  # [R] int32 lengths of all reads
+    suppress: jnp.ndarray,   # [Q, S] int32 sorted candidate ids to suppress
+    suppress_cnt: jnp.ndarray,  # [Q] int32
+    *,
+    budget: int,
+    ncand: int,
+    kovl: int,
+    len_ratio: float = 1.2,
+):
+    """Returns (cands [Q, ncand] int32 (-1 pad, ol-desc order), ols [Q, ncand] int32)."""
+    Q, L = qkmer.shape
+    flat_k = qkmer.reshape(-1)
+    start = jnp.searchsorted(idx_kmers, flat_k, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(idx_kmers, flat_k, side="right").astype(jnp.int32)
+    cnt = jnp.where(qvalid.reshape(-1), end - start, 0)
+    cum = jnp.cumsum(cnt)
+    total = cum[-1]
+    # fixed-budget expansion of posting ranges
+    p = jnp.arange(budget, dtype=jnp.int32)
+    src = jnp.searchsorted(cum, p, side="right").astype(jnp.int32)
+    src_c = jnp.clip(src, 0, Q * L - 1)
+    prev = jnp.where(src_c > 0, cum[src_c - 1], 0)
+    within = p - prev.astype(jnp.int32)
+    pidx = jnp.clip(start[src_c] + within, 0, post_rd.shape[0] - 1)
+    alive = p < total
+    q_local = (src_c // L).astype(jnp.int32)
+    qpos = qoff.reshape(-1)[src_c]
+    span = qspan.reshape(-1)[src_c]
+    cand = post_rd[pidx]
+    cdir = post_dir[pidx].astype(jnp.int32)
+    # filters
+    qrid = qrids[q_local]
+    clen = read_lens[jnp.clip(cand, 0, read_lens.shape[0] - 1)]
+    keep = (
+        alive
+        & (cand != qrid)
+        & (clen.astype(jnp.float32) <= len_ratio * qlens[q_local].astype(jnp.float32))
+        & ~qskip[q_local]
+    )
+    if suppress.shape[1] > 0:
+        keep &= ~_binary_search_rows(suppress, q_local, cand, suppress_cnt)
+    # sort events by (query, candidate*2+dir, qpos); dead events to the end
+    k1 = jnp.where(keep, q_local, jnp.int32(Q))
+    k2 = jnp.where(keep, cand * 2 + cdir, INT32_MAX)
+    k3 = jnp.where(keep, qpos, INT32_MAX)
+    k1, k2, k3, span_s = jax.lax.sort((k1, k2, k3, span), num_keys=3)
+    live = k1 < Q
+    seg_new = jnp.concatenate(
+        [jnp.ones(1, bool), (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
+    )
+    prev_end = jnp.concatenate([jnp.zeros(1, jnp.int32), (k3 + span_s)[:-1]])
+    contrib = jnp.where(
+        seg_new, span_s, jnp.clip(jnp.minimum(span_s, k3 + span_s - prev_end), 0)
+    )
+    contrib = jnp.where(live, contrib, 0)
+    seg_id = jnp.cumsum(seg_new.astype(jnp.int32)) - 1
+    n_seg = budget  # upper bound
+    seg_ol0 = jax.ops.segment_sum(contrib, seg_id, num_segments=n_seg)
+    first_idx = jnp.where(seg_new & live, seg_id, n_seg)
+    seg_q0 = jnp.full(n_seg + 1, Q, jnp.int32).at[first_idx].set(k1, mode="drop")[:n_seg]
+    seg_c20 = jnp.full(n_seg + 1, INT32_MAX, jnp.int32).at[first_idx].set(k2, mode="drop")[:n_seg]
+    # merge the two strands of each (q, cand) by max ol (wtzmo.c:525-535)
+    seg_cand = jnp.where(seg_c20 == INT32_MAX, INT32_MAX, seg_c20 >> 1)
+    m_new = jnp.concatenate(
+        [jnp.ones(1, bool), (seg_q0[1:] != seg_q0[:-1]) | (seg_cand[1:] != seg_cand[:-1])]
+    )
+    m_id = jnp.cumsum(m_new.astype(jnp.int32)) - 1
+    seg_ol = jax.ops.segment_max(seg_ol0, m_id, num_segments=n_seg)
+    m_first = jnp.where(m_new & (seg_q0 < Q), m_id, n_seg)
+    seg_q = jnp.full(n_seg + 1, Q, jnp.int32).at[m_first].set(seg_q0, mode="drop")[:n_seg]
+    seg_c = jnp.full(n_seg + 1, INT32_MAX, jnp.int32).at[m_first].set(seg_cand, mode="drop")[:n_seg]
+    # top-ncand per query: sort by (q, -ol, cand)
+    seg_live = (seg_q < Q) & (seg_ol >= kovl)
+    s1 = jnp.where(seg_live, seg_q, jnp.int32(Q))
+    s2 = jnp.where(seg_live, INT32_MAX - seg_ol, INT32_MAX)
+    s3 = jnp.where(seg_live, seg_c, INT32_MAX)
+    s1, s2, s3 = jax.lax.sort((s1, s2, s3), num_keys=3)
+    pos = jnp.arange(n_seg, dtype=jnp.int32)
+    q_first = jnp.full(Q + 1, n_seg, jnp.int32).at[s1].min(pos, mode="drop")[:Q]
+    live2 = s1 < Q
+    rank = pos - q_first[jnp.clip(s1, 0, Q - 1)]
+    sel = live2 & (rank < ncand)
+    row = jnp.where(sel, s1, Q)
+    col = jnp.where(sel, rank, 0)
+    cands = jnp.full((Q + 1, ncand), -1, jnp.int32).at[row, col].set(s3, mode="drop")[:Q]
+    ols = (
+        jnp.full((Q + 1, ncand), 0, jnp.int32)
+        .at[row, col]
+        .set(INT32_MAX - s2, mode="drop")[:Q]
+    )
+    return cands, ols, total

@@ -1,0 +1,388 @@
+"""Dot-matrix overlap alignment — batched device kernels (SW-free).
+
+TPU-native reimplementation of the reference's dot-matrix mode
+(hzm_aln.h:721-1181 denoising_hzmps / fast_merge_wtseedv /
+chaining_overhang_wtseedv / dot_matrix_align_hzmps), the engine behind
+`wtzmo -U` (run_dmo.sh).  Differences from the reference are deliberate
+TPU-first redesigns with equivalent behaviour:
+
+  - the reference's overlapping diagonal windows + union-find group merge
+    becomes single-linkage clustering on sorted (diagonal, position) keys
+    (break when the diagonal gap exceeds yvar / the x-gap exceeds xvar) —
+    computed with sorts + segmented scans instead of pointer chasing;
+  - seed pairs for a whole batch of (query, candidate) pairs are produced
+    by one budgeted expansion of the global z-mer posting index filtered
+    by candidate membership (replacing per-candidate re-scans of
+    query_single_read_seeds, hzm_aln.h:173-224);
+  - the O(n^2) block chaining DP (hzm_aln.h:1056-1132) runs as one dense
+    [pairs, NB] vectorised scan.
+
+Outputs feed the same 17-column overlap records as the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.int32(0x7FFFFFFF)
+NEG_BIG = jnp.int32(-1000000)
+
+
+# ---------------------------------------------------------------------------
+# phase 2: seed-pair extraction against the zmer index
+# ---------------------------------------------------------------------------
+
+
+class PairBatch(NamedTuple):
+    pair_id: jnp.ndarray  # [PB] int32 = ((q*A + slot)*2 + dir), BIGP if dead
+    off1: jnp.ndarray     # [PB] int32 query raw offset
+    off2: jnp.ndarray     # [PB] int32 candidate raw offset (strand-flipped)
+    len1: jnp.ndarray     # [PB] int32
+    len2: jnp.ndarray     # [PB] int32
+    match_cnt: jnp.ndarray  # [Q*A*2] int32 seed matches per pair (pre-budget)
+    total: jnp.ndarray    # scalar: pairs before pair-budget truncation
+
+
+def _lex_lower_bound(zmers, post_rd, z, rd):
+    """Lower bound of (z, rd) in postings sorted by (zmer, rd); manual bisect."""
+    P = zmers.shape[0]
+    steps = max(1, P.bit_length())
+    lo = jnp.zeros(z.shape, jnp.int32)
+    hi = jnp.full(z.shape, P, jnp.int32)
+    for _ in range(steps + 1):
+        mid = (lo + hi) >> 1
+        midc = jnp.clip(mid, 0, P - 1)
+        zm = zmers[midc]
+        rm = post_rd[midc]
+        less = (zm < z) | ((zm == z) & (rm < rd))
+        go = less & (mid < hi)
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, jnp.where(mid < hi, mid, hi))
+    return lo
+
+
+def _search_rows_pos(table, row_ids, values):
+    """Position of value in per-row sorted table [Q, A]; returns (pos, found)."""
+    A = table.shape[1]
+    steps = max(1, (A - 1).bit_length())
+    lo = jnp.zeros(values.shape, jnp.int32)
+    hi = jnp.full(values.shape, A, jnp.int32)
+    for _ in range(steps + 1):
+        mid = (lo + hi) >> 1
+        mv = table[row_ids, jnp.clip(mid, 0, A - 1)]
+        go = (mv < values) & (mid < hi)
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, jnp.where(mid < hi, mid, hi))
+    pos = jnp.clip(lo, 0, A - 1)
+    found = table[row_ids, pos] == values
+    return pos, found
+
+
+@functools.partial(jax.jit, static_argnames=("expand_budget", "pair_budget", "kvar"))
+def extract_zmer_pairs(
+    qz: jnp.ndarray,     # [Q, L] uint32 query zmers
+    qdir: jnp.ndarray,   # [Q, L] bool
+    qoff: jnp.ndarray,   # [Q, L] int32
+    qspan: jnp.ndarray,  # [Q, L] int32
+    qvalid: jnp.ndarray, # [Q, L] bool
+    qrids: jnp.ndarray,  # [Q] int32
+    cands_sorted: jnp.ndarray,  # [Q, A] int32 candidate ids sorted asc (pad INT32_MAX)
+    zmers: jnp.ndarray, post_rd: jnp.ndarray, post_dir: jnp.ndarray,
+    post_off: jnp.ndarray, post_span: jnp.ndarray,
+    read_lens: jnp.ndarray,  # [R] int32
+    *,
+    expand_budget: int,
+    pair_budget: int,
+    kvar: int = 2,
+) -> PairBatch:
+    Q, L = qz.shape
+    A = cands_sorted.shape[1]
+    BIGP = jnp.int32(Q * A * 2)
+    flat_z = qz.reshape(-1)
+    flat_valid = qvalid.reshape(-1)
+    q_of = (jnp.arange(Q * L, dtype=jnp.int32) // L).astype(jnp.int32)
+    # own-read membership = the per-read zmer cap kept this (read, zmer) group
+    own_lb = _lex_lower_bound(zmers, post_rd, flat_z, qrids[q_of])
+    own_ok = (own_lb < zmers.shape[0]) & (
+        zmers[jnp.clip(own_lb, 0, zmers.shape[0] - 1)] == flat_z
+    ) & (post_rd[jnp.clip(own_lb, 0, zmers.shape[0] - 1)] == qrids[q_of])
+    start = jnp.searchsorted(zmers, flat_z, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(zmers, flat_z, side="right").astype(jnp.int32)
+    cnt = jnp.where(flat_valid & own_ok, end - start, 0)
+    cum = jnp.cumsum(cnt)
+    p = jnp.arange(expand_budget, dtype=jnp.int32)
+    src = jnp.searchsorted(cum, p, side="right").astype(jnp.int32)
+    src_c = jnp.clip(src, 0, Q * L - 1)
+    prev = jnp.where(src_c > 0, cum[src_c - 1], 0)
+    pidx = jnp.clip(start[src_c] + (p - prev.astype(jnp.int32)), 0, post_rd.shape[0] - 1)
+    alive = p < cum[-1]
+    q_local = q_of[src_c]
+    c_rd = post_rd[pidx]
+    slot, found = _search_rows_pos(cands_sorted, q_local, c_rd)
+    len_ok = jnp.abs(qspan.reshape(-1)[src_c] - post_span[pidx]) <= kvar
+    keep = alive & found & len_ok
+    pairdir = (qdir.reshape(-1)[src_c] ^ (post_dir[pidx] != 0)).astype(jnp.int32)
+    clen = read_lens[jnp.clip(c_rd, 0, read_lens.shape[0] - 1)]
+    o2 = jnp.where(
+        pairdir == 1, clen - (post_off[pidx] + post_span[pidx]), post_off[pidx]
+    )
+    pair_id = jnp.where(keep, (q_local * A + slot) * 2 + pairdir, BIGP)
+    match_cnt = jax.ops.segment_sum(
+        keep.astype(jnp.int32), jnp.where(keep, pair_id, Q * A * 2),
+        num_segments=Q * A * 2 + 1,
+    )[: Q * A * 2]
+    # compact kept pairs into [pair_budget]
+    dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    total = dst[-1] + 1
+    dst = jnp.where(keep & (dst < pair_budget), dst, pair_budget)
+    def scat(vals, fill):
+        return (
+            jnp.full(pair_budget + 1, fill, jnp.int32)
+            .at[dst]
+            .set(vals.astype(jnp.int32), mode="drop")[:pair_budget]
+        )
+    return PairBatch(
+        pair_id=scat(pair_id, int(Q * A * 2)),
+        off1=scat(qoff.reshape(-1)[src_c], 0),
+        off2=scat(o2, 0),
+        len1=scat(qspan.reshape(-1)[src_c], 0),
+        len2=scat(post_span[pidx], 0),
+        match_cnt=match_cnt,
+        total=total,
+    )
+
+
+# ---------------------------------------------------------------------------
+# phases 3-5: blocks, merge, chain
+# ---------------------------------------------------------------------------
+
+
+class DotMatrixResult(NamedTuple):
+    pair_id: jnp.ndarray  # [NP] int32 (BIGP pad)
+    score: jnp.ndarray    # [NP] int32 chained coverage weight
+    tb: jnp.ndarray       # [NP] int32 query begin
+    te: jnp.ndarray       # [NP] int32 query end
+    qb: jnp.ndarray       # [NP] int32 candidate begin
+    qe: jnp.ndarray       # [NP] int32 candidate end
+
+
+def _seg_firsts(valid_first, seg_id, vals, n_seg, fill):
+    idx = jnp.where(valid_first, seg_id, n_seg)
+    return (
+        jnp.full(n_seg + 1, fill, jnp.int32).at[idx].set(vals.astype(jnp.int32), mode="drop")[:n_seg]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_pairs", "nb", "xvar", "yvar", "min_block_len", "max_overhang"),
+)
+def dot_matrix_align(
+    pairs: PairBatch,
+    qlens_of_pair: jnp.ndarray,  # [Q*A*2] int32 query length per pair id
+    clens_of_pair: jnp.ndarray,  # [Q*A*2] int32 candidate length per pair id
+    *,
+    n_pairs: int,      # dense pair rows for the chain DP
+    nb: int = 32,      # max blocks chained per pair
+    xvar: int = 128,
+    yvar: int = 64,
+    min_block_len: int = 160,
+    max_overhang: int = 256,
+    deviation_penalty: float = 1.0,
+    gap_penalty: float = 0.05,
+) -> DotMatrixResult:
+    PB = pairs.pair_id.shape[0]
+    BIGP = qlens_of_pair.shape[0]  # == Q*A*2
+    diag = pairs.off1 - pairs.off2
+    dead = pairs.pair_id >= BIGP
+    k1 = jnp.where(dead, jnp.int32(BIGP), pairs.pair_id)
+    k2 = jnp.where(dead, INT32_MAX, diag)
+    k3 = jnp.where(dead, INT32_MAX, pairs.off1)
+    k1, k2, k3, o2, l1, l2 = jax.lax.sort(
+        (k1, k2, k3, pairs.off2, pairs.len1, pairs.len2), num_keys=3
+    )
+    live = k1 < BIGP
+    pair_new = jnp.concatenate([jnp.ones(1, bool), k1[1:] != k1[:-1]])
+    grp_new = pair_new | jnp.concatenate([jnp.ones(1, bool), (k2[1:] - k2[:-1]) > yvar])
+    grp_id = jnp.cumsum(grp_new.astype(jnp.int32)) - 1
+    # re-sort within diagonal groups by off1
+    g1 = jnp.where(live, grp_id, INT32_MAX)
+    g1, o1, o2, l1, l2, pid = jax.lax.sort((g1, k3, o2, l1, l2, k1), num_keys=2)
+    live = g1 < INT32_MAX
+    prev_end1 = jnp.concatenate([jnp.zeros(1, jnp.int32), (o1 + l1)[:-1]])
+    blk_new = jnp.concatenate([jnp.ones(1, bool), g1[1:] != g1[:-1]]) | (
+        o1 > prev_end1 + xvar
+    )
+    blk_id = jnp.cumsum(blk_new.astype(jnp.int32)) - 1
+    contrib = jnp.where(blk_new, l1, (o1 + l1) - prev_end1)
+    contrib = jnp.where(live, contrib, 0)
+    nseg = PB
+    b_w = jax.ops.segment_sum(contrib, blk_id, num_segments=nseg)
+    b_beg0 = jax.ops.segment_min(jnp.where(live, o1, INT32_MAX), blk_id, num_segments=nseg)
+    b_end0 = jax.ops.segment_max(jnp.where(live, o1 + l1, 0), blk_id, num_segments=nseg)
+    b_beg1 = jax.ops.segment_min(jnp.where(live, o2, INT32_MAX), blk_id, num_segments=nseg)
+    b_end1 = jax.ops.segment_max(jnp.where(live, o2 + l2, 0), blk_id, num_segments=nseg)
+    b_pid = _seg_firsts(blk_new & live, blk_id, pid, nseg, int(BIGP))
+    b_live = (b_pid < BIGP) & (b_w >= min_block_len)
+    # ---- fast merge: single-linkage over blocks at (xvar, 2*yvar) scale ----
+    m1 = jnp.where(b_live, b_pid, jnp.int32(BIGP))
+    m2 = jnp.where(b_live, b_beg0 - b_beg1, INT32_MAX)
+    m3 = jnp.where(b_live, b_beg0, INT32_MAX)
+    m1, m2, m3, me0, mb1, me1, mw = jax.lax.sort(
+        (m1, m2, m3, b_end0, b_beg1, b_end1, b_w), num_keys=3
+    )
+    mlive = m1 < BIGP
+    mp_new = jnp.concatenate([jnp.ones(1, bool), m1[1:] != m1[:-1]])
+    mg_new = mp_new | jnp.concatenate(
+        [jnp.ones(1, bool), (m2[1:] - m2[:-1]) > 2 * yvar]
+    )
+    mg_id = jnp.cumsum(mg_new.astype(jnp.int32)) - 1
+    h1 = jnp.where(mlive, mg_id, INT32_MAX)
+    h1, hb0, he0, hb1, he1, hw, hpid = jax.lax.sort(
+        (h1, m3, me0, mb1, me1, mw, m1), num_keys=2
+    )
+    hlive = h1 < INT32_MAX
+    prev_he0 = jnp.concatenate([jnp.zeros(1, jnp.int32), he0[:-1]])
+    w_new = jnp.concatenate([jnp.ones(1, bool), h1[1:] != h1[:-1]]) | (
+        hb0 > prev_he0 + xvar
+    )
+    w_id = jnp.cumsum(w_new.astype(jnp.int32)) - 1
+    W_w = jax.ops.segment_sum(jnp.where(hlive, hw, 0), w_id, num_segments=nseg)
+    W_b0 = jax.ops.segment_min(jnp.where(hlive, hb0, INT32_MAX), w_id, num_segments=nseg)
+    W_e0 = jax.ops.segment_max(jnp.where(hlive, he0, 0), w_id, num_segments=nseg)
+    W_b1 = jax.ops.segment_min(jnp.where(hlive, hb1, INT32_MAX), w_id, num_segments=nseg)
+    W_e1 = jax.ops.segment_max(jnp.where(hlive, he1, 0), w_id, num_segments=nseg)
+    W_pid = _seg_firsts(w_new & hlive, w_id, hpid, nseg, int(BIGP))
+    W_live = W_pid < BIGP
+    # ---- gather top-nb windows per pair into dense [n_pairs, nb] ----
+    s1 = jnp.where(W_live, W_pid, jnp.int32(BIGP))
+    s2 = jnp.where(W_live, INT32_MAX - W_w, INT32_MAX)
+    s1, s2, sb0, se0, sb1, se1 = jax.lax.sort(
+        (s1, s2, W_b0, W_e0, W_b1, W_e1), num_keys=2
+    )
+    sw = jnp.where(s1 < BIGP, INT32_MAX - s2, 0)
+    srow_new = jnp.concatenate([jnp.ones(1, bool), s1[1:] != s1[:-1]]) & (s1 < BIGP)
+    row_of = jnp.cumsum(srow_new.astype(jnp.int32)) - 1  # dense row index
+    pos = jnp.arange(PB, dtype=jnp.int32)
+    row_first = jnp.full(nseg + 1, 0, jnp.int32).at[
+        jnp.where(srow_new, row_of, nseg)
+    ].set(pos, mode="drop")[:nseg]
+    col = pos - row_first[jnp.clip(row_of, 0, nseg - 1)]
+    ok = (s1 < BIGP) & (col < nb) & (row_of < n_pairs)
+    r = jnp.where(ok, row_of, n_pairs)
+    c = jnp.where(ok, col, 0)
+    def dense(vals, fill):
+        return (
+            jnp.full((n_pairs + 1, nb), fill, jnp.int32)
+            .at[r, c]
+            .set(vals, mode="drop")[:n_pairs]
+        )
+    D_b0 = dense(sb0, int(INT32_MAX))
+    D_e0 = dense(se0, 0)
+    D_b1 = dense(sb1, int(INT32_MAX))
+    D_e1 = dense(se1, 0)
+    D_w = dense(sw, 0)
+    D_pid = (
+        jnp.full(n_pairs + 1, int(BIGP), jnp.int32)
+        .at[jnp.where(srow_new & (row_of < n_pairs), row_of, n_pairs)]
+        .set(s1, mode="drop")[:n_pairs]
+    )
+    D_valid = D_w > 0
+    # re-sort each row by beg0 for the chain DP
+    key = jnp.where(D_valid, D_b0, INT32_MAX)
+    key, D_e0, D_b1, D_e1, D_w, D_b0 = jax.lax.sort(
+        (key, D_e0, D_b1, D_e1, D_w, D_b0), num_keys=1
+    )
+    D_valid = key < INT32_MAX
+    # ---- chain DP (hzm_aln.h:1056-1132) ----
+    qlen = qlens_of_pair[jnp.clip(D_pid, 0, BIGP - 1)]
+    clen = clens_of_pair[jnp.clip(D_pid, 0, BIGP - 1)]
+    tail_margin = xvar
+    head = (
+        (D_b0 <= tail_margin) | (D_b1 <= tail_margin)
+    ).astype(jnp.int32)
+    tail = (
+        (D_e0 + tail_margin > qlen[:, None]) | (D_e1 + tail_margin > clen[:, None])
+    ).astype(jnp.int32)
+    head = jnp.where(D_valid, head, 0)
+    tail = jnp.where(D_valid, tail, 0)
+    colix = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :], D_w.shape)
+
+    def step(state, i):
+        weight, hd, bt, mw, btg = state
+        wi = jnp.take_along_axis(weight, i[:, None], axis=1)[:, 0] + jnp.take_along_axis(
+            D_w, i[:, None], axis=1
+        )[:, 0]
+        hi = jnp.take_along_axis(hd, i[:, None], axis=1)[:, 0]
+        ti = jnp.take_along_axis(tail, i[:, None], axis=1)[:, 0]
+        vi = jnp.take_along_axis(D_valid, i[:, None], axis=1)[:, 0]
+        e0 = jnp.take_along_axis(D_e0, i[:, None], axis=1)[:, 0]
+        e1 = jnp.take_along_axis(D_e1, i[:, None], axis=1)[:, 0]
+        cand_total = (wi * ((hi + 3) * (ti + 3))) // 16
+        better = vi & (cand_total > mw)
+        mw = jnp.where(better, cand_total, mw)
+        btg = jnp.where(better, i, btg)
+        Wlim = (wi.astype(jnp.float32) / gap_penalty).astype(jnp.int32)
+        d0 = D_b0 - e0[:, None]
+        d1 = D_b1 - e1[:, None]
+        allowed = (
+            (colix > i[:, None])
+            & D_valid
+            & vi[:, None]
+            & (D_b0 + max_overhang >= e0[:, None])
+            & (D_b1 + max_overhang >= e1[:, None])
+            & (d0 <= Wlim[:, None])
+        )
+        band = jnp.abs(d0 - d1)
+        gap = jnp.abs(jnp.maximum(d0, d1))
+        pen = (
+            band.astype(jnp.float32) * deviation_penalty
+            + gap.astype(jnp.float32) * gap_penalty
+        ).astype(jnp.int32)
+        score = wi[:, None] - pen
+        upd = allowed & (weight <= score)
+        weight = jnp.where(upd, score, weight)
+        bt = jnp.where(upd, i[:, None], bt)
+        hd = jnp.where(upd, hi[:, None], hd)
+        # store wi back at column i
+        onehot = colix == i[:, None]
+        weight = jnp.where(onehot, wi[:, None], weight)
+        return (weight, hd, bt, mw, btg), None
+
+    NP = D_w.shape[0]
+    init = (
+        jnp.zeros((NP, nb), jnp.int32),
+        head,
+        jnp.full((NP, nb), -1, jnp.int32),
+        jnp.full(NP, NEG_BIG, jnp.int32),
+        jnp.full(NP, -1, jnp.int32),
+    )
+    iters = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[:, None], (nb, NP))
+    (weight, hd, bt, mw, btg), _ = jax.lax.scan(step, init, iters)
+    # traceback: follow bt pointers from btg, marking chain membership
+    mark = jnp.zeros((NP, nb), bool)
+    cur = btg
+
+    def tb_step(state, _):
+        mark, cur = state
+        ok = cur >= 0
+        curc = jnp.clip(cur, 0, nb - 1)
+        mark = mark.at[jnp.arange(NP), curc].set(
+            mark[jnp.arange(NP), curc] | ok
+        )
+        nxt = bt[jnp.arange(NP), curc]
+        cur = jnp.where(ok, nxt, -1)
+        return (mark, cur), None
+
+    (mark, _), _ = jax.lax.scan(tb_step, (mark, cur), None, length=nb)
+    mark = mark & D_valid
+    score = jnp.sum(jnp.where(mark, D_w, 0), axis=1)
+    tb_ = jnp.min(jnp.where(mark, D_b0, INT32_MAX), axis=1)
+    te_ = jnp.max(jnp.where(mark, D_e0, 0), axis=1)
+    qb_ = jnp.min(jnp.where(mark, D_b1, INT32_MAX), axis=1)
+    qe_ = jnp.max(jnp.where(mark, D_e1, 0), axis=1)
+    return DotMatrixResult(pair_id=D_pid, score=score, tb=tb_, te=te_, qb=qb_, qe=qe_)

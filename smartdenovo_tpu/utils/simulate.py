@@ -16,33 +16,53 @@ def random_genome(rng: np.random.Generator, length: int) -> np.ndarray:
 
 
 def mutate_read(rng: np.random.Generator, seq: np.ndarray, err: float,
-                sub_frac: float = 0.2, ins_frac: float = 0.45, del_frac: float = 0.35) -> np.ndarray:
-    """Apply a PacBio-like error profile: mostly indels, some substitutions."""
+                sub_frac: float = 0.15, ins_frac: float = 0.55, del_frac: float = 0.30,
+                hp_bias: float = 0.75) -> np.ndarray:
+    """Apply a PacBio-like error profile.
+
+    Raw PacBio/ONT errors are indel-dominated and strongly homopolymer-
+    biased — most insertions duplicate the previous base and most deletions
+    shorten homopolymer runs.  This is exactly why the reference assembler
+    indexes homopolymer-compressed k-mers (SURVEY.md §5.7); a simulator with
+    uniform random indels would make hpc seeding unrealistically hard.
+    """
     if err <= 0:
         return seq.copy()
-    out = []
+    n = len(seq)
     p_sub = err * sub_frac
     p_ins = err * ins_frac
     p_del = err * del_frac
-    r = rng.random(len(seq) * 2)
-    ri = 0
-    ins_bases = rng.integers(0, 4, size=len(seq), dtype=np.int64)
-    sub_shift = rng.integers(1, 4, size=len(seq), dtype=np.int64)
-    ii = 0
-    for j in range(len(seq)):
-        x = r[ri]
-        ri += 1
+    r = rng.random(n)
+    hp = rng.random(n) < hp_bias
+    ins_bases = rng.integers(0, 4, size=n, dtype=np.int64)
+    sub_shift = rng.integers(1, 4, size=n, dtype=np.int64)
+    out = []
+    prev = -1
+    for j in range(n):
+        c = int(seq[j])
+        x = r[j]
         if x < p_del:
-            continue
+            # homopolymer-biased deletion: only delete inside a run
+            if hp[j]:
+                if c == prev:
+                    continue
+                out.append(c)
+                prev = c
+            else:
+                continue
         elif x < p_del + p_ins:
-            out.append(int(ins_bases[ii]))
-            out.append(int(seq[j]))
-            ii += 1
+            # homopolymer-biased insertion: duplicate the current base
+            ins = c if hp[j] else int(ins_bases[j])
+            out.append(ins)
+            out.append(c)
+            prev = c
         elif x < p_del + p_ins + p_sub:
-            out.append((int(seq[j]) + int(sub_shift[ii])) % 4)
-            ii += 1
+            c = (c + int(sub_shift[j])) % 4
+            out.append(c)
+            prev = c
         else:
-            out.append(int(seq[j]))
+            out.append(c)
+            prev = c
     return np.array(out, dtype=np.uint8)
 
 
