@@ -1,0 +1,264 @@
+"""All-vs-all overlap stage — equivalent of the reference `wtzmo`.
+
+Dot-matrix (SW-free) engine first: candidate selection on the k-mer index,
+z-mer seed-pair extraction, batched dot-matrix chaining on device, and
+17-column overlap TSV emission (reference wtzmo.c; output format
+README-tools.md:119-139).
+
+Scheduling model (deterministic replacement for the reference's thread
+pool + closed_alns ledger, wtzmo.c:1309-1334, 813-820): reads are
+processed in strict (length desc, name asc) order in fixed batches; a
+pair is attempted once, by the earlier query; the attempted-pair ledger
+drives candidate suppression for later queries exactly like closed_alns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data.readbank import ReadBank
+from ..ops.seeds import extract_seeds, subsample_mask
+from ..ops.index import build_kmer_index, build_zmer_index
+from ..ops.candidates import scan_candidates
+from ..ops.dotmatrix import extract_zmer_pairs, dot_matrix_align, PairBatch
+from ..utils.log import log
+
+INT32_MAX = np.int32(0x7FFFFFFF)
+
+
+@dataclasses.dataclass
+class ZmoParams:
+    # seeding (wtzmo defaults, wtzmo.c:1536-1588; dmo pipeline overrides)
+    ksize: int = 16
+    zsize: int = 10
+    hz: bool = True
+    ksave: int = 4            # -S subsampling
+    max_kmer_freq: int = 0    # -K 0 => auto 5x avg depth
+    max_zmer_freq: int = 64   # -Z (dmo: 16) per-read zmer cap
+    kvar: int = 2             # -l max span difference of matched zmers
+    kovl: int = 300           # -d min kmer covered len for a candidate
+    ztot: int = 300           # -r min total zmer seeding region
+    ncand: int = 500          # -A (dmo: 1000)
+    nbest: int = 100          # -B
+    min_score: int = 200      # -s
+    min_id: float = 0.5       # -m (dmo: 0.1)
+    max_unalign_dovetail: int = 200
+    len_ratio: float = 1.2
+    # dot matrix (wtzmo.c:1583-1588, -U -1 defaults)
+    xvar: int = 128
+    yvar: int = 64
+    min_block_len: int = 160
+    max_overhang: int = 256
+    deviation_penalty: float = 1.0
+    gap_penalty: float = 0.05
+    # batching / budgets (TPU shapes)
+    batch_q: int = 16
+    cand_budget: int = 1 << 20
+    expand_budget: int = 1 << 22
+    pair_budget: int = 1 << 20
+    nb: int = 32
+
+    @classmethod
+    def dmo(cls, **kw) -> "ZmoParams":
+        """smartdenovo.pl dmo engine flags: -k 16 -z 10 -Z 16 -U -1 -m 0.1 -A 1000."""
+        d = dict(max_zmer_freq=16, min_id=0.1, ncand=1000)
+        d.update(kw)
+        return cls(**d)
+
+
+@dataclasses.dataclass
+class Overlap:
+    """One 17-column overlap record (README-tools.md:119-139)."""
+
+    rid1: int
+    dir1: int
+    beg1: int
+    end1: int
+    rid2: int
+    dir2: int
+    beg2: int
+    end2: int
+    score: int
+    identity: float
+    mat: int
+    mis: int
+    ins: int
+    dl: int
+    aln: int
+    cigar: str = "0M"
+
+    def to_tsv(self, names, lengths) -> str:
+        return (
+            f"{names[self.rid1]}\t{'+-'[self.dir1]}\t{lengths[self.rid1]}\t{self.beg1}\t{self.end1}"
+            f"\t{names[self.rid2]}\t{'+-'[self.dir2]}\t{lengths[self.rid2]}\t{self.beg2}\t{self.end2}"
+            f"\t{self.score}\t{self.identity:.3f}\t{self.mat}\t{self.mis}\t{self.ins}\t{self.dl}"
+            f"\t{self.cigar}"
+        )
+
+
+def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True):
+    """Run the dot-matrix all-vs-all overlapper.  Returns list[Overlap]."""
+    p = params or ZmoParams.dmo()
+    n = len(rb)
+    if n == 0:
+        return []
+    kidx = build_kmer_index(rb, p.ksize, p.hz, p.ksave, p.max_kmer_freq)
+    zidx = build_zmer_index(rb, p.zsize, p.hz, p.max_zmer_freq)
+    read_lens = jnp.asarray(rb.lengths)
+    avg_len = rb.avg_len()
+    rdcovs = np.zeros(n, np.int64)
+    attempted_by: list[list[int]] = [[] for _ in range(n)]
+    overlaps: list[Overlap] = []
+    A = p.ncand
+    Q = p.batch_q
+    for b0 in range(0, n, Q):
+        rids = np.arange(b0, min(n, b0 + Q))
+        q = len(rids)
+        batch, lens = rb.batch(rids)
+        L = batch.shape[1]
+        nbest_of = np.maximum(p.nbest, p.nbest * lens.astype(np.int64) // max(1, avg_len))
+        qskip = rdcovs[rids] >= nbest_of
+        # ---- candidate selection (k16) ----
+        kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
+        kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
+        sup_lists = [sorted(attempted_by[r]) for r in rids]
+        S = max(1, max((len(s) for s in sup_lists), default=1))
+        sup = np.full((q, S), INT32_MAX, np.int32)
+        sup_cnt = np.zeros(q, np.int32)
+        for i, s in enumerate(sup_lists):
+            sup[i, : len(s)] = s
+            sup_cnt[i] = len(s)
+        cands, ols, cand_total = scan_candidates(
+            kres["kmer"], kres["off"], kres["span"], kvalid,
+            jnp.asarray(rids, jnp.int32), jnp.asarray(lens), jnp.asarray(qskip),
+            kidx.kmers, kidx.post_rd, kidx.post_dir, read_lens,
+            jnp.asarray(sup), jnp.asarray(sup_cnt),
+            budget=p.cand_budget, ncand=A, kovl=p.kovl, len_ratio=p.len_ratio,
+        )
+        cands = np.asarray(cands)
+        if int(cand_total) > p.cand_budget:
+            log("WARNING: candidate budget overflow (%d > %d)", int(cand_total), p.cand_budget)
+        # device membership table needs ids ascending; remember both orders
+        csorted = np.sort(np.where(cands < 0, INT32_MAX, cands), axis=1).astype(np.int32)
+        # ---- zmer pairs + dot-matrix ----
+        zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
+        pairs = extract_zmer_pairs(
+            zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
+            jnp.asarray(rids, jnp.int32), jnp.asarray(csorted),
+            zidx.zmers, zidx.post_rd, zidx.post_dir, zidx.post_off, zidx.post_span,
+            read_lens,
+            expand_budget=p.expand_budget, pair_budget=p.pair_budget, kvar=p.kvar,
+        )
+        if int(pairs.total) > p.pair_budget:
+            log("WARNING: pair budget overflow (%d > %d)", int(pairs.total), p.pair_budget)
+        # per-pair-id read lengths for the chain head/tail bonuses
+        slot_cand = csorted[:, :]  # [q, A]
+        qlen_of_pair = np.repeat(lens.astype(np.int32), A * 2).reshape(q, A * 2)
+        clen_flat = np.where(
+            slot_cand < n, rb.lengths[np.clip(slot_cand, 0, n - 1)], 0
+        ).astype(np.int32)
+        clen_of_pair = np.repeat(clen_flat, 2, axis=1)
+        n_pairs_dense = q * A * 2
+        res = dot_matrix_align(
+            pairs,
+            jnp.asarray(qlen_of_pair.reshape(-1)),
+            jnp.asarray(clen_of_pair.reshape(-1)),
+            n_pairs=n_pairs_dense, nb=p.nb,
+            xvar=p.xvar, yvar=p.yvar, min_block_len=p.min_block_len,
+            max_overhang=p.max_overhang,
+            deviation_penalty=p.deviation_penalty, gap_penalty=p.gap_penalty,
+        )
+        _emit_batch(
+            rb, p, rids, lens, cands, csorted,
+            np.asarray(pairs.match_cnt), res, rdcovs, attempted_by, overlaps, A,
+        )
+        if progress and (b0 // Q) % 8 == 0:
+            log("overlapped %d/%d reads, %d overlaps", min(n, b0 + Q), n, len(overlaps))
+    log("overlap done: %d overlaps", len(overlaps))
+    return overlaps
+
+
+def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
+                attempted_by, overlaps, A):
+    """Host-side combine: dir choice, ztot gate, ledger, dedup, filters."""
+    n = len(rb)
+    q = len(rids)
+    # map dense result rows back to (q, slot, dir)
+    by_pair: dict[int, int] = {}
+    pair_ids = np.asarray(res.pair_id)
+    for row, pid in enumerate(pair_ids):
+        if pid < q * A * 2:
+            by_pair[int(pid)] = row
+    score_a = np.asarray(res.score)
+    tb_a, te_a, qb_a, qe_a = (np.asarray(x) for x in (res.tb, res.te, res.qb, res.qe))
+    attempted_now: set[tuple[int, int]] = set()
+    batch_hits = []
+    for qi in range(q):
+        qrid = int(rids[qi])
+        qlen = int(lens[qi])
+        # iterate candidates in selection (ol-desc) order like the reference
+        for cand in cands[qi]:
+            if cand < 0:
+                continue
+            cand = int(cand)
+            slot = int(np.searchsorted(csorted[qi], cand))
+            pid0 = (qi * A + slot) * 2
+            mc = int(match_cnt[pid0]) + int(match_cnt[pid0 + 1])
+            if mc * p.zsize < p.ztot:
+                continue  # not attempted; other side may retry (wtzmo.c:855)
+            attempted_now.add((qrid, cand))
+            w = [0, 0]
+            rows = [None, None]
+            for d in (0, 1):
+                r = by_pair.get(pid0 + d)
+                if r is not None:
+                    w[d] = int(score_a[r])
+                    rows[d] = r
+            d = 1 if w[0] < w[1] else 0
+            if rows[d] is None:
+                continue
+            r = rows[d]
+            score = w[d]
+            tb, te, qb, qe = int(tb_a[r]), int(te_a[r]), int(qb_a[r]), int(qe_a[r])
+            ol = max(te - tb, qe - qb)
+            if ol <= 0:
+                continue
+            if score < p.min_score or score < int(p.min_id * ol):
+                continue
+            batch_hits.append((qrid, qlen, cand, d, tb, te, qb, qe, score, ol))
+    # intra-batch dedup: a pair attempted from both sides keeps the earlier
+    # (smaller sorted id) query's attempt, mirroring the serial ledger
+    emitted = set()
+    for hit in batch_hits:
+        qrid, qlen, cand, d, tb, te, qb, qe, score, ol = hit
+        if (cand, qrid) in attempted_now and cand < qrid:
+            continue
+        if (qrid, cand) in emitted:
+            continue
+        emitted.add((qrid, cand))
+        clen = int(rb.lengths[cand])
+        ov = Overlap(
+            rid1=qrid, dir1=0, beg1=tb, end1=te,
+            rid2=cand, dir2=d, beg2=qb, end2=qe,
+            score=score, identity=score / ol, mat=score, mis=0, ins=0, dl=0, aln=ol,
+        )
+        overlaps.append(ov)
+        x1 = min(tb, qb)
+        x2 = min(qlen - te, clen - qe)
+        if x1 + x2 <= p.max_unalign_dovetail:
+            rdcovs[qrid] += 1
+            rdcovs[cand] += 1
+    # ledger for future batches: any attempted pair suppresses the reverse
+    for qrid, cand in attempted_now:
+        attempted_by[cand].append(qrid)
+
+
+def write_overlaps(path: str, rb: ReadBank, overlaps) -> None:
+    lengths = rb.lengths
+    with open(path, "w") as fh:
+        for ov in overlaps:
+            fh.write(ov.to_tsv(rb.names, lengths))
+            fh.write("\n")

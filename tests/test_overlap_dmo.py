@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+
+from smartdenovo_tpu.data.readbank import ReadBank
+from smartdenovo_tpu.pipeline.zmo import ZmoParams, overlap_dmo
+from smartdenovo_tpu.utils.simulate import random_genome, simulate_reads
+
+
+def _interval(name):
+    parts = name.split("_")
+    return int(parts[-2]), int(parts[-2]) + int(parts[-1])
+
+
+@pytest.fixture(scope="module")
+def small_assembly_input():
+    rng = np.random.default_rng(11)
+    g = random_genome(rng, 30000)
+    names, seqs = simulate_reads(g, coverage=10, mean_len=5000, err=0.13, seed=12)
+    rb = ReadBank(names, seqs)
+    params = ZmoParams.dmo(
+        batch_q=8, cand_budget=1 << 18, expand_budget=1 << 21, pair_budget=1 << 19,
+        ncand=64,
+    )
+    overlaps = overlap_dmo(rb, params, progress=False)
+    return g, rb, overlaps
+
+
+def test_dmo_overlaps_recall(small_assembly_input):
+    g, rb, overlaps = small_assembly_input
+    found = set()
+    for ov in overlaps:
+        found.add((min(ov.rid1, ov.rid2), max(ov.rid1, ov.rid2)))
+    # ground truth pairs with >= 3kb genomic overlap and compatible lengths
+    total = hit = 0
+    for i in range(len(rb)):
+        bi, ei = _interval(rb.names[i])
+        for j in range(i + 1, len(rb)):
+            if rb.lengths[j] > 1.2 * rb.lengths[i] or rb.lengths[i] > 1.2 * rb.lengths[j]:
+                pass  # still attemptable from the longer side
+            bj, ej = _interval(rb.names[j])
+            ovl = min(ei, ej) - max(bi, bj)
+            if ovl >= 3000:
+                total += 1
+                if (i, j) in found:
+                    hit += 1
+    assert total > 30
+    assert hit / total > 0.85, f"overlap recall {hit}/{total}"
+
+
+def test_dmo_overlaps_precision(small_assembly_input):
+    g, rb, overlaps = small_assembly_input
+    bad = 0
+    for ov in overlaps:
+        b1, e1 = _interval(rb.names[ov.rid1])
+        b2, e2 = _interval(rb.names[ov.rid2])
+        true_ovl = min(e1, e2) - max(b1, b2)
+        if true_ovl < 500:
+            bad += 1
+    assert bad / max(1, len(overlaps)) < 0.05, f"{bad}/{len(overlaps)} spurious overlaps"
+
+
+def test_dmo_no_duplicate_pairs(small_assembly_input):
+    _, rb, overlaps = small_assembly_input
+    seen = set()
+    for ov in overlaps:
+        key = (min(ov.rid1, ov.rid2), max(ov.rid1, ov.rid2))
+        assert key not in seen, f"duplicate overlap for pair {key}"
+        seen.add(key)
+
+
+def test_dmo_coords_sane(small_assembly_input):
+    _, rb, overlaps = small_assembly_input
+    assert len(overlaps) > 50
+    for ov in overlaps:
+        l1, l2 = rb.lengths[ov.rid1], rb.lengths[ov.rid2]
+        assert 0 <= ov.beg1 < ov.end1 <= l1
+        assert 0 <= ov.beg2 < ov.end2 <= l2
+        assert ov.score >= 200
+        # dot-matrix "identity" is a pseudo-score (chained zmer coverage /
+        # span); chained blocks may overlap slightly so it can exceed 1.0,
+        # as in the reference (hit.mat/hit.aln with mat=chain weight)
+        assert 0 < ov.identity <= 1.5
+        # overlap lengths on the two reads should roughly agree
+        s1 = ov.end1 - ov.beg1
+        s2 = ov.end2 - ov.beg2
+        assert min(s1, s2) > 0.6 * max(s1, s2)
+
+
+def test_dmo_strand_consistency(small_assembly_input):
+    """dir2 must match whether the simulated reads came from opposite strands."""
+    _, rb, overlaps = small_assembly_input
+    # simulate_reads flips each read with p=0.5 but the name keeps genome coords;
+    # we can't know the strand from the name alone, so just check both dirs occur
+    dirs = {ov.dir2 for ov in overlaps}
+    assert dirs == {0, 1}
