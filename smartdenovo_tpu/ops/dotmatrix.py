@@ -168,6 +168,12 @@ class DotMatrixResult(NamedTuple):
     te: jnp.ndarray       # [NP] int32 query end
     qb: jnp.ndarray       # [NP] int32 candidate begin
     qe: jnp.ndarray       # [NP] int32 candidate end
+    # chained window blocks (anchor regions) per pair, beg0-sorted:
+    blk_b0: jnp.ndarray   # [NP, NB] int32 query-axis begin
+    blk_e0: jnp.ndarray   # [NP, NB] int32 query-axis end
+    blk_b1: jnp.ndarray   # [NP, NB] int32 candidate-axis begin
+    blk_e1: jnp.ndarray   # [NP, NB] int32 candidate-axis end
+    blk_on: jnp.ndarray   # [NP, NB] bool  True if the block is on the chain
 
 
 def _seg_firsts(valid_first, seg_id, vals, n_seg, fill):
@@ -385,4 +391,7 @@ def dot_matrix_align(
     te_ = jnp.max(jnp.where(mark, D_e0, 0), axis=1)
     qb_ = jnp.min(jnp.where(mark, D_b1, INT32_MAX), axis=1)
     qe_ = jnp.max(jnp.where(mark, D_e1, 0), axis=1)
-    return DotMatrixResult(pair_id=D_pid, score=score, tb=tb_, te=te_, qb=qb_, qe=qe_)
+    return DotMatrixResult(
+        pair_id=D_pid, score=score, tb=tb_, te=te_, qb=qb_, qe=qe_,
+        blk_b0=D_b0, blk_e0=D_e0, blk_b1=D_b1, blk_e1=D_e1, blk_on=mark,
+    )

@@ -1,0 +1,340 @@
+"""Consensus stage — equivalent of the reference `wtcns` (DAGCon-style).
+
+Per unitig (reference run_wtcns, wtcns.c:475-732):
+  backbone = offset-concatenation of the layout's Y reads (the .utg raw
+  sequence); then `n_iter` rounds of:
+    1. anchor every layout read to the current consensus with z-mer
+       matching + dot-matrix chaining (device, batched across reads),
+    2. banded read-vs-consensus alignment along the anchor-guided band
+       (device wavefront, ops/banded.py) — replaces the scalar
+       fast_seeds_align/ksw stitching of aln_read_wtcns (wtcns.c:286-434),
+    3. insert pairwise alignments best-score-first into the native DAG
+       (native/dagcns.cpp), merge nodes, topological-DP consensus
+       (reference dagcns.h semantics), remap read offsets.
+
+Output: consensus FASTA records per unitig.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data.readbank import ReadBank, codes_to_seq, revcomp_codes
+from ..ops.seeds import extract_seeds
+from ..ops.index import build_zmer_index
+from ..ops.dotmatrix import extract_zmer_pairs, dot_matrix_align
+from ..ops.banded import banded_align, make_band_centers, traceback_banded
+from ..ops.swdp import align_strings
+from ..utils.log import log
+from ..utils.native import DagCns
+
+INT32_MAX = np.int32(0x7FFFFFFF)
+
+
+@dataclasses.dataclass
+class CnsParams:
+    n_iter: int = 4            # -n (reference default 6)
+    zsize: int = 10            # -z
+    hz: bool = False           # -H (off by default in wtcns)
+    kvar: int = 2              # -l
+    min_id: float = 0.5        # -m
+    ref_penalty: float = 0.5   # -Y
+    alt_penalty: float = 0.2   # -N
+    match: int = 2
+    mismatch: int = -5
+    gap: int = -3
+    band: int = 256            # band width for the guided DP
+    win_margin: int = 600      # cns window margin around expected span
+    batch_reads: int = 48
+    max_zmer_per_read: int = 64
+    xvar: int = 128
+    yvar: int = 64
+    min_block_len: int = 64
+    max_overhang: int = 512
+
+
+@dataclasses.dataclass
+class LayUnitig:
+    """One unitig layout: oriented read sequences + backbone offsets."""
+
+    name: str
+    reads: list[np.ndarray]   # oriented 2-bit codes (direct-use, like .lay rows)
+    offs: list[int]
+    backbone: list[bool]      # Y/N flag
+
+
+def units_from_graph(graph) -> list[LayUnitig]:
+    """Extract consensus jobs from an in-memory StringGraph (post layout)."""
+    units = []
+    for i, lay in enumerate(graph.lays):
+        if len(lay) < 4:
+            continue
+        reads, offs, bflags = [], [], []
+        for nid, dir, fwd, bwd, off, cont in lay:
+            codes = graph.rb.get(nid)
+            if dir:
+                codes = revcomp_codes(codes)
+            reads.append(np.ascontiguousarray(codes))
+            offs.append(int(off))
+            bflags.append(not cont)
+        units.append(LayUnitig(name=f"utg{i}", reads=reads, offs=offs, backbone=bflags))
+    return units
+
+
+def parse_lay_file(path: str) -> list[LayUnitig]:
+    """Parse a reference-format .lay file (README-tools.md:248-268)."""
+    from ..data.readbank import seq_to_codes
+
+    units = []
+    cur = None
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                cur = LayUnitig(name=name, reads=[], offs=[], backbone=[])
+                units.append(cur)
+                continue
+            cols = line.split("\t")
+            if len(cols) < 6 or cur is None:
+                continue
+            cur.backbone.append(cols[0] == "Y")
+            cur.offs.append(int(cols[3]))
+            cur.reads.append(seq_to_codes(cols[5]))
+    return [u for u in units if u.reads]
+
+
+def _gen_backbone(unit: LayUnitig) -> np.ndarray:
+    """Offset-concatenation of Y reads (cf. gen_backbone_wtcns wtcns.c:246-284)."""
+    ln = 0
+    for r, off, bb in zip(unit.reads, unit.offs, unit.backbone):
+        if bb:
+            ln = max(ln, off + len(r))
+    ctg = np.zeros(ln, np.uint8)
+    built = 0
+    for r, off, bb in zip(unit.reads, unit.offs, unit.backbone):
+        if not bb or off + len(r) <= built:
+            continue
+        ctg[off : off + len(r)] = r
+        built = off + len(r)
+    return ctg[:built]
+
+
+def _pad_tier(n: int, tiers=(1024, 2048, 4096, 8192, 16384, 32768, 65536)) -> int:
+    for t in tiers:
+        if n <= t:
+            return t
+    return ((n + 65535) // 65536) * 65536
+
+
+class _CnsBank:
+    """Minimal bank-like adapter over window sequences for the zmer index."""
+
+    def __init__(self, seqs: list[np.ndarray]):
+        self.lengths = np.array([len(s) for s in seqs], np.int32)
+        self._seqs = seqs
+
+    def __len__(self):
+        return len(self._seqs)
+
+    def batch(self, rids, pad_to=None):
+        L = int(pad_to if pad_to is not None else max((self.lengths[r] for r in rids), default=0))
+        out = np.full((len(rids), L), 4, np.uint8)
+        for i, r in enumerate(rids):
+            out[i, : self.lengths[r]] = self._seqs[r][:L]
+        return out, self.lengths[np.asarray(rids)]
+
+
+def _anchor_reads(reads, windows, p: CnsParams):
+    """Anchor each read i to window i via zmer match + dot-matrix chaining.
+
+    Returns per read: list of (a_pos, b_pos) anchors (block corners) or [].
+    """
+    B = len(reads)
+    # index the windows (candidate side)
+    wbank = _CnsBank(windows)
+    widx = build_zmer_index(wbank, p.zsize, p.hz, p.max_zmer_per_read)
+    # also index the reads as "queries": reuse the same per-read cap by
+    # putting reads into the same index space is not needed — query arrays
+    # come straight from extraction; own-read membership must consult an
+    # index containing the READS, so build a tiny one for them too.
+    rbank = _CnsBank(list(reads))
+    ridx = build_zmer_index(rbank, p.zsize, p.hz, p.max_zmer_per_read)
+    LR = _pad_tier(max(len(r) for r in reads))
+    batch, lens = rbank.batch(np.arange(B), pad_to=LR)
+    zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
+    # candidate table: read i -> window i only.  The window index read-ids
+    # are window ids; offset them so they can't collide with read ids.
+    cands = np.full((B, 1), 0, np.int32)
+    cands[:, 0] = np.arange(B)
+    # combined posting arrays: windows only (candidates); own-membership
+    # check must look up (zmer, read_id) among READ postings — pass a
+    # merged index with read ids offset by B.
+    zmers = np.concatenate([np.asarray(widx.zmers), np.asarray(ridx.zmers)])
+    post_rd = np.concatenate([np.asarray(widx.post_rd), np.asarray(ridx.post_rd) + B])
+    post_dir = np.concatenate([np.asarray(widx.post_dir), np.asarray(ridx.post_dir)])
+    post_off = np.concatenate([np.asarray(widx.post_off), np.asarray(ridx.post_off)])
+    post_span = np.concatenate([np.asarray(widx.post_span), np.asarray(ridx.post_span)])
+    order = np.argsort(
+        (zmers.astype(np.uint64) << np.uint64(32)) | post_rd.astype(np.uint64),
+        kind="stable",
+    )
+    zmers, post_rd, post_dir, post_off, post_span = (
+        zmers[order], post_rd[order], post_dir[order], post_off[order], post_span[order]
+    )
+    read_lens = np.zeros(2 * B, np.int32)
+    read_lens[:B] = wbank.lengths
+    read_lens[B:] = rbank.lengths
+    qrids = np.arange(B, dtype=np.int32) + B  # reads live at offset B
+    tot_z = int(np.asarray(zres["valid"]).sum())
+    expand_budget = 1 << max(16, int(np.ceil(np.log2(max(1024, tot_z * 8)))))
+    pair_budget = max(1 << 15, expand_budget // 4)
+    pairs = extract_zmer_pairs(
+        zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
+        jnp.asarray(qrids), jnp.asarray(cands),
+        jnp.asarray(zmers), jnp.asarray(post_rd), jnp.asarray(post_dir),
+        jnp.asarray(post_off), jnp.asarray(post_span),
+        jnp.asarray(read_lens),
+        expand_budget=expand_budget, pair_budget=pair_budget, kvar=p.kvar,
+    )
+    qlen_of_pair = np.repeat(rbank.lengths.astype(np.int32), 2)
+    clen_of_pair = np.repeat(wbank.lengths.astype(np.int32), 2)
+    res = dot_matrix_align(
+        pairs,
+        jnp.asarray(qlen_of_pair), jnp.asarray(clen_of_pair),
+        n_pairs=2 * B, nb=24,
+        xvar=p.xvar, yvar=p.yvar, min_block_len=p.min_block_len,
+        max_overhang=p.max_overhang,
+    )
+    pair_ids = np.asarray(res.pair_id)
+    scores = np.asarray(res.score)
+    bb0 = np.asarray(res.blk_b0)
+    be0 = np.asarray(res.blk_e0)
+    bb1 = np.asarray(res.blk_b1)
+    be1 = np.asarray(res.blk_e1)
+    on = np.asarray(res.blk_on)
+    anchors = [[] for _ in range(B)]
+    best = {}
+    for row, pid in enumerate(pair_ids):
+        if pid >= 2 * B:
+            continue
+        rd = int(pid) // 2
+        d = int(pid) & 1
+        if d == 1:
+            continue  # read and its own window are same-strand by construction
+        if rd in best and scores[best[rd]] >= scores[row]:
+            continue
+        best[rd] = row
+    for rd, row in best.items():
+        anc = []
+        for kk in range(bb0.shape[1]):
+            if not on[row, kk]:
+                continue
+            anc.append((int(bb0[row, kk]), int(bb1[row, kk])))
+            anc.append((int(be0[row, kk]), int(be1[row, kk])))
+        anc.sort()
+        anchors[rd] = anc
+    return anchors
+
+
+def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None) -> np.ndarray:
+    """Iterative DAG consensus for one unitig; returns consensus codes."""
+    p = p or CnsParams()
+    cns = _gen_backbone(unit)
+    if len(cns) == 0:
+        return cns
+    nreads = len(unit.reads)
+    offs = list(unit.offs)
+    for it in range(p.n_iter):
+        dag = DagCns(p.ref_penalty, p.alt_penalty)
+        dag.set_backbone(cns)
+        pending = []  # (score, beg, end, a0, a1)
+        for b0 in range(0, nreads, p.batch_reads):
+            ridx = list(range(b0, min(nreads, b0 + p.batch_reads)))
+            reads = [unit.reads[i] for i in ridx]
+            wstarts = []
+            windows = []
+            for i in ridx:
+                ws = max(0, offs[i] - p.win_margin)
+                we = min(len(cns), offs[i] + len(unit.reads[i]) + p.win_margin)
+                if we <= ws:
+                    ws, we = 0, min(len(cns), len(unit.reads[i]) + 2 * p.win_margin)
+                wstarts.append(ws)
+                windows.append(cns[ws:we])
+            anchors = _anchor_reads(reads, windows, p)
+            LA = _pad_tier(max(len(r) for r in reads))
+            LBm = max(len(w) for w in windows)
+            B = len(reads)
+            a = np.full((B, LA), 4, np.uint8)
+            b = np.full((B, LBm), 4, np.uint8)
+            alen = np.zeros(B, np.int32)
+            blen = np.zeros(B, np.int32)
+            for i, (r, w) in enumerate(zip(reads, windows)):
+                a[i, : len(r)] = r
+                alen[i] = len(r)
+                b[i, : len(w)] = w
+                blen[i] = len(w)
+            base = make_band_centers(anchors, alen, blen, LA, p.band)
+            score, end_col, dirs = banded_align(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen), jnp.asarray(blen),
+                jnp.asarray(base), LA=LA, W=p.band,
+                match=p.match, mismatch=p.mismatch, gap=p.gap, semiglobal_b=True,
+            )
+            score = np.asarray(score)
+            cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen, np.asarray(end_col))
+            for i in range(B):
+                ops, counts = cigs[i]
+                if not ops:
+                    continue
+                # build alignment strings: row a = read, row b = window
+                ra, rb_ = align_strings(a[i], b[i][int(b_begs[i]):], ops, counts)
+                cols = ra.shape[0]
+                m = int(np.sum((ra == rb_) & (ra != 4)))
+                if cols == 0 or m < p.min_id * max(
+                    int(alen[i]), int(np.sum(rb_ != 4))
+                ):
+                    continue
+                beg = wstarts[i] + int(b_begs[i])
+                end = wstarts[i] + int(end_col[i])
+                pending.append((int(score[i]), beg, end, rb_, ra, ridx[i]))
+                offs[ridx[i]] = beg
+        pending.sort(key=lambda t: -t[0])
+        for sc, beg, end, a0, a1, _ in pending:
+            dag.add_alignment(beg, end, a0, a1)
+        dag.merge_nodes()
+        new_cns, mp, dag_score = dag.consensus()
+        # remap offsets old->new
+        if mp is not None and len(mp):
+            for i in range(nreads):
+                o = min(max(0, offs[i]), len(mp) - 1)
+                offs[i] = int(mp[o])
+        log("cns %s iter %d: %d reads aligned, len %d -> %d, score %.1f",
+            unit.name, it + 1, len(pending), len(cns), len(new_cns), dag_score)
+        cns = new_cns
+        if len(cns) == 0:
+            break
+    return cns
+
+
+def run_cns(units: list[LayUnitig], params: CnsParams | None = None):
+    """Consensus for all unitigs; returns list of (name, codes)."""
+    p = params or CnsParams()
+    out = []
+    for unit in units:
+        cns = consensus_unitig(unit, p)
+        if len(cns):
+            out.append((unit.name, cns))
+    return out
+
+
+def write_cns(path: str, results):
+    from ..io.fasta import write_fasta
+
+    with open(path, "w") as fh:
+        for name, codes in results:
+            write_fasta(fh, f"{name} len={len(codes)}", codes_to_seq(codes), width=100)

@@ -24,6 +24,7 @@ from .zmo import Overlap, ZmoParams, overlap_dmo
 @dataclasses.dataclass
 class AssemblyResult:
     rb: ReadBank           # the bank used for layout (post-clip)
+    orig_rb: ReadBank      # the pre-clip overlap bank (overlaps are keyed to it)
     overlaps: list
     clips: dict
     graph: StringGraph
@@ -77,14 +78,14 @@ def assemble_dmo(
     log("layout bank: %d/%d reads kept", len(rb2), len(rb))
     ovl2 = remap_overlaps(overlaps, rb, rb2)
     g = run_lay(rb2, ovl2, lp)
-    return AssemblyResult(rb=rb2, overlaps=overlaps, clips=clips, graph=g)
+    return AssemblyResult(rb=rb2, orig_rb=rb, overlaps=overlaps, clips=clips, graph=g)
 
 
 def write_outputs(res: AssemblyResult, prefix: str):
     from .zmo import write_overlaps
     from ..graph.clip import write_clp
 
-    write_overlaps(prefix + ".ovl", res.rb, remap_overlaps(res.overlaps, res.rb, res.rb))
+    write_overlaps(prefix + ".ovl", res.orig_rb, res.overlaps)
     write_clp(prefix + ".obt", res.clips)
     with open(prefix + ".lay", "w") as lay_fh, open(prefix + ".lay.utg", "w") as utg_fh, \
          open(prefix + ".lay.dup", "w") as dup_lay, open(prefix + ".lay.utg.dup", "w") as dup_utg:

@@ -29,6 +29,14 @@ from ..utils.log import log
 INT32_MAX = np.int32(0x7FFFFFFF)
 
 
+def _pad_tier(n: int, tiers=(2048, 4096, 8192, 16384, 32768, 65536)) -> int:
+    """Pad lengths to a few fixed tiers so device kernels compile once."""
+    for t in tiers:
+        if n <= t:
+            return t
+    return ((n + 65535) // 65536) * 65536
+
+
 @dataclasses.dataclass
 class ZmoParams:
     # seeding (wtzmo defaults, wtzmo.c:1536-1588; dmo pipeline overrides)
@@ -115,22 +123,27 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     A = p.ncand
     Q = p.batch_q
     for b0 in range(0, n, Q):
-        rids = np.arange(b0, min(n, b0 + Q))
-        q = len(rids)
-        batch, lens = rb.batch(rids)
-        L = batch.shape[1]
+        real = np.arange(b0, min(n, b0 + Q))
+        # keep the batch a fixed size: repeat the last read as skipped padding
+        rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
+        q = Q
+        Ltier = _pad_tier(int(rb.lengths[rids].max()))
+        batch, lens = rb.batch(rids, pad_to=Ltier)
         nbest_of = np.maximum(p.nbest, p.nbest * lens.astype(np.int64) // max(1, avg_len))
         qskip = rdcovs[rids] >= nbest_of
+        qskip[len(real):] = True  # padding rows
         # ---- candidate selection (k16) ----
         kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
         kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
         sup_lists = [sorted(attempted_by[r]) for r in rids]
-        S = max(1, max((len(s) for s in sup_lists), default=1))
+        S = _pad_tier(max(1, max((len(s) for s in sup_lists), default=1)),
+                      tiers=(16, 64, 256, 1024, 4096, 16384))
         sup = np.full((q, S), INT32_MAX, np.int32)
         sup_cnt = np.zeros(q, np.int32)
         for i, s in enumerate(sup_lists):
             sup[i, : len(s)] = s
             sup_cnt[i] = len(s)
+        sup_cnt[len(real):] = 0
         cands, ols, cand_total = scan_candidates(
             kres["kmer"], kres["off"], kres["span"], kvalid,
             jnp.asarray(rids, jnp.int32), jnp.asarray(lens), jnp.asarray(qskip),
@@ -199,12 +212,12 @@ def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
     for qi in range(q):
         qrid = int(rids[qi])
         qlen = int(lens[qi])
+        row = cands[qi]
+        slots = np.searchsorted(csorted[qi], row)
         # iterate candidates in selection (ol-desc) order like the reference
-        for cand in cands[qi]:
-            if cand < 0:
-                continue
-            cand = int(cand)
-            slot = int(np.searchsorted(csorted[qi], cand))
+        for ci in np.nonzero(row >= 0)[0]:
+            cand = int(row[ci])
+            slot = int(slots[ci])
             pid0 = (qi * A + slot) * 2
             mc = int(match_cnt[pid0]) + int(match_cnt[pid0 + 1])
             if mc * p.zsize < p.ztot:
