@@ -25,16 +25,33 @@ from ..utils.log import log
 from .seeds import extract_seeds, subsample_mask
 
 
-def _length_batches(rb: ReadBank, target_elems: int = 1 << 24, pad_quantum: int = 512):
-    """Yield (rids, padded_len) batches; reads are length-sorted so padding is tight."""
+def _length_batches(rb: ReadBank, target_elems: int = 1 << 24):
+    """Yield (rids, padded_len) batches; reads are length-sorted desc.
+
+    Lengths pad to power-of-two tiers and batch sizes are fixed per tier so
+    each (B, L) shape compiles exactly once (compiles through the axon
+    remote-compile tunnel are expensive).
+    """
     n = len(rb)
     i = 0
     while i < n:
-        L = int(rb.lengths[i])
-        Lp = max(pad_quantum, ((L + pad_quantum - 1) // pad_quantum) * pad_quantum)
-        bsz = max(1, min(n - i, target_elems // Lp))
-        yield np.arange(i, i + bsz), Lp
+        L = max(2048, int(rb.lengths[i]))
+        Lp = 1 << (L - 1).bit_length()
+        bsz = max(1, target_elems // Lp)
+        yield np.arange(i, min(n, i + bsz)), Lp
         i += bsz
+
+
+def _pad_rids(rids: np.ndarray, _bsz_unused: int = 0):
+    """Pad a partial batch to a power-of-two size with masked repeats, so
+    batch shapes stay within a small (log B x log L) compile set."""
+    bsz = 1 << max(0, (len(rids) - 1)).bit_length()
+    bsz = max(1, bsz)
+    mask = np.zeros(bsz, np.int32)
+    mask[: len(rids)] = 1
+    if len(rids) < bsz:
+        rids = np.concatenate([rids, np.full(bsz - len(rids), rids[0], rids.dtype)])
+    return rids, mask
 
 
 @dataclasses.dataclass
@@ -69,7 +86,9 @@ def build_kmer_index(
     """
     ks, rds, dirs = [], [], []
     for rids, Lp in _length_batches(rb, batch_elems):
+        rids, lens_mask = _pad_rids(rids, batch_elems // Lp)
         batch, lens = rb.batch(rids, pad_to=Lp)
+        lens = lens * lens_mask
         res = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), ksize, hz)
         keep = np.asarray(res["valid"] & subsample_mask(res["kmer"], ksave))
         km = np.asarray(res["kmer"])[keep]
@@ -146,7 +165,9 @@ def build_zmer_index(
     """
     zs, rds, dirs, offs, spans = [], [], [], [], []
     for rids, Lp in _length_batches(rb, batch_elems):
+        rids, lens_mask = _pad_rids(rids, batch_elems // Lp)
         batch, lens = rb.batch(rids, pad_to=Lp)
+        lens = lens * lens_mask
         res = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), zsize, hz)
         keep = np.asarray(res["valid"])
         zs.append(np.asarray(res["kmer"])[keep])

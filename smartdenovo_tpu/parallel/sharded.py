@@ -1,0 +1,223 @@
+"""Multi-chip sharded overlap step — the pod-scale execution path.
+
+Design (SURVEY.md §5.8, replacing the reference's -P/-p job split +
+-G index partitioning, wtzmo.c:1431-1463):
+
+  mesh axes:  rd  — data parallel over query reads
+              idx — the k-mer/z-mer posting index sharded by
+                    jenkins(kmer) % n_idx (the same smear used for the
+                    reference's subsampling, wtzmo.c:270)
+
+  step:  every (rd, idx) device scans its query shard against its index
+         shard; per-candidate coverage partials are psum'd over `idx`,
+         top-A candidates are picked locally per rd shard; z-mer seed
+         pairs are extracted per index shard and all-gathered over `idx`
+         so each rd shard chains its own pairs' dot-matrix alignment.
+         Overlap records stay sharded over `rd` (gathered by the host at
+         the end of the stage, like the reference's file concatenation).
+
+Collectives ride the ICI mesh; no host round-trips inside a step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.seeds import jenkins_hash_u32
+from ..ops.dotmatrix import PairBatch, dot_matrix_align
+
+
+class ShardedIndex(NamedTuple):
+    """Posting index sharded by kmer-hash range; equal-size shards."""
+
+    kmers: jnp.ndarray     # [S, Pp] uint32 sorted within shard (pad 0xFFFFFFFF)
+    post_rd: jnp.ndarray   # [S, Pp] int32
+    post_dir: jnp.ndarray  # [S, Pp] int8
+    post_off: jnp.ndarray  # [S, Pp] int32
+    post_span: jnp.ndarray # [S, Pp] int32
+
+
+def shard_index(kmers, post_rd, post_dir, post_off, post_span, n_shards: int) -> ShardedIndex:
+    """Partition sorted postings by jenkins(kmer) % n_shards, re-sorting
+    each shard by (kmer, rd)."""
+    kmers = np.asarray(kmers)
+    h = np.zeros(len(kmers), np.uint32)
+    # jenkins on host (same arithmetic as ops.seeds.jenkins_hash_u32)
+    key = kmers.astype(np.uint64)
+    key = (key + (key << 12)) & 0xFFFFFFFF
+    key ^= key >> 22
+    key = (key + (key << 4)) & 0xFFFFFFFF
+    key ^= key >> 9
+    key = (key + (key << 10)) & 0xFFFFFFFF
+    key ^= key >> 2
+    key = (key + (key << 7)) & 0xFFFFFFFF
+    key ^= key >> 12
+    h = (key % n_shards).astype(np.int64)
+    maxp = max(int((h == s).sum()) for s in range(n_shards)) if len(kmers) else 1
+    maxp = max(1, maxp)
+    Ks = np.full((n_shards, maxp), 0xFFFFFFFF, np.uint32)
+    Rs = np.zeros((n_shards, maxp), np.int32)
+    Ds = np.zeros((n_shards, maxp), np.int8)
+    Os = np.zeros((n_shards, maxp), np.int32)
+    Ss = np.zeros((n_shards, maxp), np.int32)
+    for s in range(n_shards):
+        sel = h == s
+        cnt = int(sel.sum())
+        Ks[s, :cnt] = kmers[sel]
+        Rs[s, :cnt] = np.asarray(post_rd)[sel]
+        Ds[s, :cnt] = np.asarray(post_dir)[sel]
+        if post_off is not None:
+            Os[s, :cnt] = np.asarray(post_off)[sel]
+            Ss[s, :cnt] = np.asarray(post_span)[sel]
+    return ShardedIndex(
+        jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(Ds), jnp.asarray(Os), jnp.asarray(Ss)
+    )
+
+
+def make_overlap_mesh(devices=None, idx_shards: int | None = None) -> Mesh:
+    """Build a (rd, idx) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if idx_shards is None:
+        idx_shards = 2 if n % 2 == 0 and n >= 4 else 1
+    rd = n // idx_shards
+    dev = np.array(devices[: rd * idx_shards]).reshape(rd, idx_shards)
+    return Mesh(dev, ("rd", "idx"))
+
+
+def sharded_overlap_step(mesh: Mesh, n_reads: int, *, budget: int, pair_budget: int,
+                         ncand: int, kovl: int, nb: int = 16):
+    """Build the jitted multi-chip overlap step for fixed shapes.
+
+    Returns a function
+      f(qk, qoff, qspan, qvalid, qdir, qrids, qlens, read_lens, kidx, zidx)
+        -> (cands [Q, A], ols [Q, A], dm_score [Q*A*2... sharded over rd])
+    with qk.. sharded over `rd` on axis 0 and index shards over `idx`.
+    """
+    A = ncand
+
+    def step(qk, qspan16, qvalid, zqk, zqoff, zqspan, zqvalid, zqdir,
+             qrids, qlens, read_lens,
+             ik, ir, id_, zk, zr, zd, zo, zs):
+        # ---- candidate partials against the local index shard ----
+        Q, L = qk.shape
+        ik = ik[0]
+        ir = ir[0]
+        flat = qk.reshape(-1)
+        start = jnp.searchsorted(ik, flat, side="left").astype(jnp.int32)
+        end = jnp.searchsorted(ik, flat, side="right").astype(jnp.int32)
+        cnt = jnp.where(qvalid.reshape(-1), end - start, 0)
+        cum = jnp.cumsum(cnt)
+        pidx = jnp.arange(budget, dtype=jnp.int32)
+        src = jnp.clip(jnp.searchsorted(cum, pidx, side="right"), 0, Q * L - 1).astype(jnp.int32)
+        prev = jnp.where(src > 0, cum[src - 1], 0)
+        pi = jnp.clip(start[src] + (pidx - prev.astype(jnp.int32)), 0, ir.shape[0] - 1)
+        alive = pidx < cum[-1]
+        q_local = src // L
+        cand = ir[pi]
+        span = qspan16.reshape(-1)[src]
+        keep = alive & (cand != qrids[q_local]) & (
+            read_lens[jnp.clip(cand, 0, read_lens.shape[0] - 1)] <= (1.2 * qlens[q_local]).astype(jnp.int32)
+        )
+        # dense partial coverage [Q, n_reads]: approximate union by capped sum
+        seg = jnp.where(keep, q_local * n_reads + cand, Q * n_reads)
+        partial = jax.ops.segment_sum(
+            jnp.where(keep, span, 0), seg, num_segments=Q * n_reads + 1
+        )[: Q * n_reads].reshape(Q, n_reads)
+        total = jax.lax.psum(partial, axis_name="idx")
+        total = jnp.minimum(total, qlens[:, None])
+        total = jnp.where(total >= kovl, total, 0)
+        ols, cands = jax.lax.top_k(total, A)
+        cands = jnp.where(ols > 0, cands, -1)
+        # ---- zmer pairs against the local zmer shard ----
+        zk0 = zk[0]
+        zr0 = zr[0]
+        csorted = jnp.sort(jnp.where(cands < 0, jnp.int32(0x7FFFFFFF), cands), axis=1)
+        zflat = zqk.reshape(-1)
+        startz = jnp.searchsorted(zk0, zflat, side="left").astype(jnp.int32)
+        endz = jnp.searchsorted(zk0, zflat, side="right").astype(jnp.int32)
+        cntz = jnp.where(zqvalid.reshape(-1), endz - startz, 0)
+        cumz = jnp.cumsum(cntz)
+        pz = jnp.arange(pair_budget, dtype=jnp.int32)
+        srcz = jnp.clip(jnp.searchsorted(cumz, pz, side="right"), 0, Q * L - 1).astype(jnp.int32)
+        prevz = jnp.where(srcz > 0, cumz[srcz - 1], 0)
+        piz = jnp.clip(startz[srcz] + (pz - prevz.astype(jnp.int32)), 0, zr0.shape[0] - 1)
+        alivez = pz < cumz[-1]
+        qlz = srcz // L
+        crd = zr0[piz]
+        # membership among this query's candidates
+        pos = jnp.searchsorted(
+            csorted, crd[:, None], side="left"
+        ) if False else None
+        # manual per-row binary search
+        lo = jnp.zeros(pair_budget, jnp.int32)
+        hi = jnp.full(pair_budget, A, jnp.int32)
+        for _ in range(max(1, (A - 1).bit_length()) + 1):
+            mid = (lo + hi) >> 1
+            mv = csorted[qlz, jnp.clip(mid, 0, A - 1)]
+            go = (mv < crd) & (mid < hi)
+            lo = jnp.where(go, mid + 1, lo)
+            hi = jnp.where(go, hi, jnp.where(mid < hi, mid, hi))
+        slot = jnp.clip(lo, 0, A - 1)
+        found = csorted[qlz, slot] == crd
+        keepz = alivez & found
+        pdir = (zqdir.reshape(-1)[srcz] ^ (zd[0][piz] != 0)).astype(jnp.int32)
+        clen = read_lens[jnp.clip(crd, 0, read_lens.shape[0] - 1)]
+        o2 = jnp.where(pdir == 1, clen - (zo[0][piz] + zs[0][piz]), zo[0][piz])
+        pair_id = jnp.where(keepz, (qlz * A + slot) * 2 + pdir, Q * A * 2)
+        fields = (
+            pair_id,
+            jnp.where(keepz, zqoff.reshape(-1)[srcz], 0),
+            jnp.where(keepz, o2, 0),
+            jnp.where(keepz, zqspan.reshape(-1)[srcz], 0),
+            jnp.where(keepz, zs[0][piz], 0),
+        )
+        # gather every index shard's pairs onto the rd shard
+        gathered = [
+            jax.lax.all_gather(f, axis_name="idx", axis=0).reshape(-1) for f in fields
+        ]
+        match_cnt = jax.ops.segment_sum(
+            (gathered[0] < Q * A * 2).astype(jnp.int32),
+            jnp.minimum(gathered[0], Q * A * 2),
+            num_segments=Q * A * 2 + 1,
+        )[: Q * A * 2]
+        pairs = PairBatch(
+            pair_id=gathered[0], off1=gathered[1], off2=gathered[2],
+            len1=gathered[3], len2=gathered[4],
+            match_cnt=match_cnt, total=jnp.sum(match_cnt),
+        )
+        qlen_of_pair = jnp.repeat(qlens, A * 2)
+        clen_of_pair = jnp.repeat(
+            read_lens[jnp.clip(csorted, 0, read_lens.shape[0] - 1)].reshape(-1), 2
+        )
+        res = dot_matrix_align(
+            pairs, qlen_of_pair, clen_of_pair, n_pairs=Q * A * 2, nb=nb,
+        )
+        return cands, ols, res.pair_id, res.score, res.tb, res.te, res.qb, res.qe
+
+    specs_q = P("rd", None)
+    spec_i = P("idx", None)
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            specs_q, specs_q, specs_q,                    # k16: qk qspan qvalid
+            specs_q, specs_q, specs_q, specs_q, specs_q,  # zmer: zqk zqoff zqspan zqvalid zqdir
+            P("rd"), P("rd"), P(),                        # qrids qlens read_lens
+            spec_i, spec_i, spec_i,                       # kmer shards
+            spec_i, spec_i, spec_i, spec_i, spec_i,       # zmer shards
+        ),
+        out_specs=(
+            P("rd", None), P("rd", None),
+            P("rd"), P("rd"), P("rd"), P("rd"), P("rd"), P("rd"),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -122,12 +122,14 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     overlaps: list[Overlap] = []
     A = p.ncand
     Q = p.batch_q
+    # one length tier for the whole run: reads are length-sorted desc, so
+    # rb.lengths[0] is the maximum — a single compile per kernel
+    Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
     for b0 in range(0, n, Q):
         real = np.arange(b0, min(n, b0 + Q))
         # keep the batch a fixed size: repeat the last read as skipped padding
         rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
         q = Q
-        Ltier = _pad_tier(int(rb.lengths[rids].max()))
         batch, lens = rb.batch(rids, pad_to=Ltier)
         nbest_of = np.maximum(p.nbest, p.nbest * lens.astype(np.int64) // max(1, avg_len))
         qskip = rdcovs[rids] >= nbest_of
