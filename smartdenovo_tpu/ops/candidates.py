@@ -81,16 +81,12 @@ def scan_candidates(
     start = jnp.searchsorted(idx_kmers, flat_k, side="left").astype(jnp.int32)
     end = jnp.searchsorted(idx_kmers, flat_k, side="right").astype(jnp.int32)
     cnt = jnp.where(qvalid.reshape(-1), end - start, 0)
-    cum = jnp.cumsum(cnt)
-    total = cum[-1]
-    # fixed-budget expansion of posting ranges
-    p = jnp.arange(budget, dtype=jnp.int32)
-    src = jnp.searchsorted(cum, p, side="right").astype(jnp.int32)
-    src_c = jnp.clip(src, 0, Q * L - 1)
-    prev = jnp.where(src_c > 0, cum[src_c - 1], 0)
-    within = p - prev.astype(jnp.int32)
+    # fixed-budget expansion of posting ranges (sorted scatter + cummax,
+    # avoiding slow per-slot binary search)
+    from .flatops import expand_ranges
+
+    src_c, within, alive, total = expand_ranges(cnt, budget)
     pidx = jnp.clip(start[src_c] + within, 0, post_rd.shape[0] - 1)
-    alive = p < total
     q_local = (src_c // L).astype(jnp.int32)
     qpos = qoff.reshape(-1)[src_c]
     span = qspan.reshape(-1)[src_c]

@@ -99,27 +99,29 @@ def extract_zmer_pairs(
     pair_budget: int,
     kvar: int = 2,
 ) -> PairBatch:
+    from .flatops import bounded_bisect, expand_ranges
+
     Q, L = qz.shape
     A = cands_sorted.shape[1]
     BIGP = jnp.int32(Q * A * 2)
     flat_z = qz.reshape(-1)
     flat_valid = qvalid.reshape(-1)
     q_of = (jnp.arange(Q * L, dtype=jnp.int32) // L).astype(jnp.int32)
-    # own-read membership = the per-read zmer cap kept this (read, zmer) group
-    own_lb = _lex_lower_bound(zmers, post_rd, flat_z, qrids[q_of])
-    own_ok = (own_lb < zmers.shape[0]) & (
-        zmers[jnp.clip(own_lb, 0, zmers.shape[0] - 1)] == flat_z
-    ) & (post_rd[jnp.clip(own_lb, 0, zmers.shape[0] - 1)] == qrids[q_of])
     start = jnp.searchsorted(zmers, flat_z, side="left").astype(jnp.int32)
     end = jnp.searchsorted(zmers, flat_z, side="right").astype(jnp.int32)
-    cnt = jnp.where(flat_valid & own_ok, end - start, 0)
-    cum = jnp.cumsum(cnt)
-    p = jnp.arange(expand_budget, dtype=jnp.int32)
-    src = jnp.searchsorted(cum, p, side="right").astype(jnp.int32)
-    src_c = jnp.clip(src, 0, Q * L - 1)
-    prev = jnp.where(src_c > 0, cum[src_c - 1], 0)
-    pidx = jnp.clip(start[src_c] + (p - prev.astype(jnp.int32)), 0, post_rd.shape[0] - 1)
-    alive = p < cum[-1]
+    # global repeat guard: mega-frequency zmers would waste the whole
+    # expansion budget (the reference's per-read cap bounds these too)
+    zmax_global = 4096
+    rng_ok = (end - start) <= zmax_global
+    # own-read membership (the per-read zmer cap kept this (read, zmer)
+    # group): bisect the read id inside the zmer's posting range
+    own_lb = bounded_bisect(post_rd, qrids[q_of], start, end, 13)
+    own_ok = (own_lb < end) & (
+        post_rd[jnp.clip(own_lb, 0, post_rd.shape[0] - 1)] == qrids[q_of]
+    )
+    cnt = jnp.where(flat_valid & own_ok & rng_ok, end - start, 0)
+    src_c, within, alive, total_exp = expand_ranges(cnt, expand_budget)
+    pidx = jnp.clip(start[src_c] + within, 0, post_rd.shape[0] - 1)
     q_local = q_of[src_c]
     c_rd = post_rd[pidx]
     slot, found = _search_rows_pos(cands_sorted, q_local, c_rd)

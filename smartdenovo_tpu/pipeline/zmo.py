@@ -108,7 +108,13 @@ class Overlap:
 
 
 def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True):
-    """Run the dot-matrix all-vs-all overlapper.  Returns list[Overlap]."""
+    """Run the dot-matrix all-vs-all overlapper.  Returns list[Overlap].
+
+    Device work is dispatched asynchronously one batch ahead of the host
+    post-processing (emit); the attempted-pair ledger therefore lags one
+    batch, which stays deterministic — cross-batch duplicate attempts are
+    resolved at emit time by the global emitted-pair set.
+    """
     p = params or ZmoParams.dmo()
     n = len(rb)
     if n == 0:
@@ -120,85 +126,99 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     rdcovs = np.zeros(n, np.int64)
     attempted_by: list[list[int]] = [[] for _ in range(n)]
     overlaps: list[Overlap] = []
+    emitted_pairs: set[tuple[int, int]] = set()
     A = p.ncand
     Q = p.batch_q
     # one length tier for the whole run: reads are length-sorted desc, so
     # rb.lengths[0] is the maximum — a single compile per kernel
     Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
-    for b0 in range(0, n, Q):
+
+    def dispatch(b0):
         real = np.arange(b0, min(n, b0 + Q))
-        # keep the batch a fixed size: repeat the last read as skipped padding
         rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
-        q = Q
         batch, lens = rb.batch(rids, pad_to=Ltier)
         nbest_of = np.maximum(p.nbest, p.nbest * lens.astype(np.int64) // max(1, avg_len))
         qskip = rdcovs[rids] >= nbest_of
-        qskip[len(real):] = True  # padding rows
-        # ---- candidate selection (k16) ----
-        kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
-        kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
+        qskip[len(real):] = True
         sup_lists = [sorted(attempted_by[r]) for r in rids]
         S = _pad_tier(max(1, max((len(s) for s in sup_lists), default=1)),
                       tiers=(16, 64, 256, 1024, 4096, 16384))
-        sup = np.full((q, S), INT32_MAX, np.int32)
-        sup_cnt = np.zeros(q, np.int32)
+        sup = np.full((Q, S), INT32_MAX, np.int32)
+        sup_cnt = np.zeros(Q, np.int32)
         for i, s in enumerate(sup_lists):
             sup[i, : len(s)] = s
             sup_cnt[i] = len(s)
         sup_cnt[len(real):] = 0
-        cands, ols, cand_total = scan_candidates(
+        kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
+        kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
+        cands_d, ols_d, cand_total = scan_candidates(
             kres["kmer"], kres["off"], kres["span"], kvalid,
             jnp.asarray(rids, jnp.int32), jnp.asarray(lens), jnp.asarray(qskip),
             kidx.kmers, kidx.post_rd, kidx.post_dir, read_lens,
             jnp.asarray(sup), jnp.asarray(sup_cnt),
             budget=p.cand_budget, ncand=A, kovl=p.kovl, len_ratio=p.len_ratio,
         )
-        cands = np.asarray(cands)
-        if int(cand_total) > p.cand_budget:
-            log("WARNING: candidate budget overflow (%d > %d)", int(cand_total), p.cand_budget)
-        # device membership table needs ids ascending; remember both orders
-        csorted = np.sort(np.where(cands < 0, INT32_MAX, cands), axis=1).astype(np.int32)
-        # ---- zmer pairs + dot-matrix ----
+        # candidate table sorted by id, on device (no host sync)
+        csorted_d = jnp.sort(
+            jnp.where(cands_d < 0, INT32_MAX, cands_d), axis=1
+        ).astype(jnp.int32)
         zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
         pairs = extract_zmer_pairs(
             zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
-            jnp.asarray(rids, jnp.int32), jnp.asarray(csorted),
+            jnp.asarray(rids, jnp.int32), csorted_d,
             zidx.zmers, zidx.post_rd, zidx.post_dir, zidx.post_off, zidx.post_span,
             read_lens,
             expand_budget=p.expand_budget, pair_budget=p.pair_budget, kvar=p.kvar,
         )
-        if int(pairs.total) > p.pair_budget:
-            log("WARNING: pair budget overflow (%d > %d)", int(pairs.total), p.pair_budget)
-        # per-pair-id read lengths for the chain head/tail bonuses
-        slot_cand = csorted[:, :]  # [q, A]
-        qlen_of_pair = np.repeat(lens.astype(np.int32), A * 2).reshape(q, A * 2)
-        clen_flat = np.where(
-            slot_cand < n, rb.lengths[np.clip(slot_cand, 0, n - 1)], 0
-        ).astype(np.int32)
-        clen_of_pair = np.repeat(clen_flat, 2, axis=1)
-        n_pairs_dense = q * A * 2
+        clen_of_pair = jnp.repeat(
+            jnp.where(csorted_d < n, read_lens[jnp.clip(csorted_d, 0, n - 1)], 0)
+            .astype(jnp.int32).reshape(-1), 2
+        )
+        qlen_of_pair = jnp.repeat(jnp.asarray(lens.astype(np.int32)), A * 2)
         res = dot_matrix_align(
-            pairs,
-            jnp.asarray(qlen_of_pair.reshape(-1)),
-            jnp.asarray(clen_of_pair.reshape(-1)),
-            n_pairs=n_pairs_dense, nb=p.nb,
+            pairs, qlen_of_pair, clen_of_pair,
+            n_pairs=Q * A * 2, nb=p.nb,
             xvar=p.xvar, yvar=p.yvar, min_block_len=p.min_block_len,
             max_overhang=p.max_overhang,
             deviation_penalty=p.deviation_penalty, gap_penalty=p.gap_penalty,
         )
-        _emit_batch(
-            rb, p, rids, lens, cands, csorted,
-            np.asarray(pairs.match_cnt), res, rdcovs, attempted_by, overlaps, A,
-        )
+        return dict(rids=rids, lens=lens, cands=cands_d, csorted=csorted_d,
+                    match_cnt=pairs.match_cnt, total=pairs.total,
+                    cand_total=cand_total, res=res)
+
+    pending = None
+    for b0 in range(0, n, Q):
+        nxt = dispatch(b0)
+        if pending is not None:
+            _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
+                          emitted_pairs, A)
+        pending = nxt
         if progress and (b0 // Q) % 8 == 0:
             log("overlapped %d/%d reads, %d overlaps", min(n, b0 + Q), n, len(overlaps))
+    if pending is not None:
+        _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
+                      emitted_pairs, A)
     log("overlap done: %d overlaps", len(overlaps))
     return overlaps
 
 
+def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A):
+    if int(d["cand_total"]) > p.cand_budget:
+        log("WARNING: candidate budget overflow (%d > %d)", int(d["cand_total"]), p.cand_budget)
+    if int(d["total"]) > p.pair_budget:
+        log("WARNING: pair budget overflow (%d > %d)", int(d["total"]), p.pair_budget)
+    _emit_batch(
+        rb, p, d["rids"], d["lens"], np.asarray(d["cands"]), np.asarray(d["csorted"]),
+        np.asarray(d["match_cnt"]), d["res"], rdcovs, attempted_by, overlaps, A,
+        emitted_pairs,
+    )
+
+
 def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
-                attempted_by, overlaps, A):
+                attempted_by, overlaps, A, emitted_pairs=None):
     """Host-side combine: dir choice, ztot gate, ledger, dedup, filters."""
+    if emitted_pairs is None:
+        emitted_pairs = set()
     n = len(rb)
     q = len(rids)
     # map dense result rows back to (q, slot, dir)
@@ -244,16 +264,17 @@ def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
             if score < p.min_score or score < int(p.min_id * ol):
                 continue
             batch_hits.append((qrid, qlen, cand, d, tb, te, qb, qe, score, ol))
-    # intra-batch dedup: a pair attempted from both sides keeps the earlier
-    # (smaller sorted id) query's attempt, mirroring the serial ledger
-    emitted = set()
+    # dedup: a pair attempted from both sides keeps the earlier (smaller
+    # sorted id) query's attempt, mirroring the serial ledger; the global
+    # emitted set also catches cross-batch duplicates (ledger lags a batch)
     for hit in batch_hits:
         qrid, qlen, cand, d, tb, te, qb, qe, score, ol = hit
         if (cand, qrid) in attempted_now and cand < qrid:
             continue
-        if (qrid, cand) in emitted:
+        key = (min(qrid, cand), max(qrid, cand))
+        if key in emitted_pairs:
             continue
-        emitted.add((qrid, cand))
+        emitted_pairs.add(key)
         clen = int(rb.lengths[cand])
         ov = Overlap(
             rid1=qrid, dir1=0, beg1=tb, end1=te,
