@@ -69,10 +69,25 @@ class ZmoParams:
     pair_budget: int = 1 << 20
     nb: int = 32
 
+    # SW (zmo) engine
+    engine: str = "dm"        # "dm" = dot-matrix (-U), "sw" = banded local DP
+    sw_match: int = 2         # -M
+    sw_mismatch: int = -5     # -X
+    sw_gap: int = -3          # -O
+    band_w: int = 256         # band width around the chain diagonal
+    align_cap: int = 64       # chains aligned per query per batch (SW engine)
+
     @classmethod
     def dmo(cls, **kw) -> "ZmoParams":
         """smartdenovo.pl dmo engine flags: -k 16 -z 10 -Z 16 -U -1 -m 0.1 -A 1000."""
-        d = dict(max_zmer_freq=16, min_id=0.1, ncand=1000)
+        d = dict(max_zmer_freq=16, min_id=0.1, ncand=1000, engine="dm")
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def zmo(cls, **kw) -> "ZmoParams":
+        """smartdenovo.pl zmo engine flags: wtzmo -s 200 -m 0.6 (SW mode)."""
+        d = dict(min_id=0.6, min_score=200, ncand=500, engine="sw")
         d.update(kw)
         return cls(**d)
 
