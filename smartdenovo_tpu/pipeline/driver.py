@@ -81,6 +81,46 @@ def assemble_dmo(
     return AssemblyResult(rb=rb2, orig_rb=rb, overlaps=overlaps, clips=clips, graph=g)
 
 
+def assemble_zmo(
+    rb: ReadBank,
+    zmo_params: ZmoParams | None = None,
+    gbo_params=None,
+    clp_params: ClpParams | None = None,
+    lay_params: LayParams | None = None,
+) -> AssemblyResult:
+    """Run the zmo (SW) pipeline: overlap -> rescue (wtgbo) -> clip -> layout.
+
+    Stage flags follow smartdenovo.pl:58-68: wtzmo -s 200 -m 0.6; wtgbo;
+    wtclp -F -d 2; wtlay -s 200 -m 0.6 -R -r 1 -c 1.
+    """
+    from ..graph.gbo import GboParams, rescue_overlaps
+    from .zmo import overlap_reads
+
+    zp = zmo_params or ZmoParams.zmo()
+    gp = gbo_params or GboParams()
+    cp = clp_params or ClpParams(whole=True, min_crs_dep=2)
+    lp = lay_params or LayParams(
+        min_score=200, min_id=0.6, margin=100, mat_score=True,
+        best_score_cutoff=1.0,
+    )
+    overlaps = overlap_reads(rb, zp)
+    news = rescue_overlaps(rb, overlaps, gp)
+    overlaps = overlaps + news
+    clips = run_clp(overlaps_to_clp_records(rb, overlaps), cp)
+    keep_names, keep_seqs = [], []
+    for rid, name in enumerate(rb.names):
+        c = clips.get(name)
+        if c is not None and c[5] != 0:
+            continue
+        keep_names.append(name)
+        keep_seqs.append(rb.get(rid).copy())
+    rb2 = ReadBank(keep_names, keep_seqs)
+    log("layout bank: %d/%d reads kept", len(rb2), len(rb))
+    ovl2 = remap_overlaps(overlaps, rb, rb2)
+    g = run_lay(rb2, ovl2, lp)
+    return AssemblyResult(rb=rb2, orig_rb=rb, overlaps=overlaps, clips=clips, graph=g)
+
+
 def write_outputs(res: AssemblyResult, prefix: str):
     from .zmo import write_overlaps
     from ..graph.clip import write_clp

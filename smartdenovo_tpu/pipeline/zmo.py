@@ -24,6 +24,7 @@ from ..ops.seeds import extract_seeds, subsample_mask
 from ..ops.index import build_kmer_index, build_zmer_index
 from ..ops.candidates import scan_candidates
 from ..ops.dotmatrix import extract_zmer_pairs, dot_matrix_align, PairBatch
+from ..ops.zmo_sw import sw_align_batch
 from ..utils.log import log
 
 INT32_MAX = np.int32(0x7FFFFFFF)
@@ -137,8 +138,12 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     kidx = build_kmer_index(rb, p.ksize, p.hz, p.ksave, p.max_kmer_freq)
     zidx = build_zmer_index(rb, p.zsize, p.hz, p.max_zmer_freq)
     read_lens = jnp.asarray(rb.lengths)
+    if p.engine == "sw":
+        flat_bases = jnp.asarray(rb.bases)
+        read_offs = jnp.asarray(rb.offsets.astype(np.int32))
     avg_len = rb.avg_len()
     rdcovs = np.zeros(n, np.int64)
+    rdmask = np.zeros(n, bool)  # contained reads (SW engine skip_contained)
     attempted_by: list[list[int]] = [[] for _ in range(n)]
     overlaps: list[Overlap] = []
     emitted_pairs: set[tuple[int, int]] = set()
@@ -153,7 +158,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
         batch, lens = rb.batch(rids, pad_to=Ltier)
         nbest_of = np.maximum(p.nbest, p.nbest * lens.astype(np.int64) // max(1, avg_len))
-        qskip = rdcovs[rids] >= nbest_of
+        qskip = (rdcovs[rids] >= nbest_of) | rdmask[rids]
         qskip[len(real):] = True
         sup_lists = [sorted(attempted_by[r]) for r in rids]
         S = _pad_tier(max(1, max((len(s) for s in sup_lists), default=1)),
@@ -197,36 +202,49 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             max_overhang=p.max_overhang,
             deviation_penalty=p.deviation_penalty, gap_penalty=p.gap_penalty,
         )
-        return dict(rids=rids, lens=lens, cands=cands_d, csorted=csorted_d,
-                    match_cnt=pairs.match_cnt, total=pairs.total,
-                    cand_total=cand_total, res=res)
+        out = dict(rids=rids, lens=lens, cands=cands_d, csorted=csorted_d,
+                   match_cnt=pairs.match_cnt, total=pairs.total,
+                   cand_total=cand_total, res=res)
+        if p.engine == "sw":
+            out["sw"] = sw_align_batch(
+                res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
+                csorted_d, jnp.asarray(batch), jnp.asarray(lens),
+                flat_bases, read_offs, read_lens,
+                Q=Q, A=A, C=p.align_cap, Ltier=Ltier, W=p.band_w,
+                match=p.sw_match, mismatch=p.sw_mismatch, gap=p.sw_gap,
+            )
+        return out
 
     pending = None
     for b0 in range(0, n, Q):
         nxt = dispatch(b0)
         if pending is not None:
             _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
-                          emitted_pairs, A)
+                          emitted_pairs, A, rdmask)
         pending = nxt
         if progress and (b0 // Q) % 8 == 0:
             log("overlapped %d/%d reads, %d overlaps", min(n, b0 + Q), n, len(overlaps))
     if pending is not None:
         _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
-                      emitted_pairs, A)
+                      emitted_pairs, A, rdmask)
     log("overlap done: %d overlaps", len(overlaps))
     return overlaps
 
 
-def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A):
+def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A,
+                  rdmask=None):
     if int(d["cand_total"]) > p.cand_budget:
         log("WARNING: candidate budget overflow (%d > %d)", int(d["cand_total"]), p.cand_budget)
     if int(d["total"]) > p.pair_budget:
         log("WARNING: pair budget overflow (%d > %d)", int(d["total"]), p.pair_budget)
-    _emit_batch(
-        rb, p, d["rids"], d["lens"], np.asarray(d["cands"]), np.asarray(d["csorted"]),
-        np.asarray(d["match_cnt"]), d["res"], rdcovs, attempted_by, overlaps, A,
-        emitted_pairs,
-    )
+    if p.engine == "sw":
+        _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdmask)
+    else:
+        _emit_batch(
+            rb, p, d["rids"], d["lens"], np.asarray(d["cands"]), np.asarray(d["csorted"]),
+            np.asarray(d["match_cnt"]), d["res"], rdcovs, attempted_by, overlaps, A,
+            emitted_pairs,
+        )
 
 
 def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
@@ -313,3 +331,68 @@ def write_overlaps(path: str, rb: ReadBank, overlaps) -> None:
         for ov in overlaps:
             fh.write(ov.to_tsv(rb.names, lengths))
             fh.write("\n")
+
+
+def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdmask):
+    """Host combine for the SW engine: DP-score filters, containment mask."""
+    sw = d["sw"]
+    rids = d["rids"]
+    lens = d["lens"]
+    q_l = np.asarray(sw.q_local)
+    cand = np.asarray(sw.cand)
+    drs = np.asarray(sw.dir)
+    score = np.asarray(sw.score)
+    mat = np.asarray(sw.mat)
+    ba = np.asarray(sw.beg_a)
+    ea = np.asarray(sw.end_a)
+    bb = np.asarray(sw.beg_b)
+    eb = np.asarray(sw.end_b)
+    attempted_now: set[tuple[int, int]] = set()
+    hits = []
+    for i in range(len(q_l)):
+        c = int(cand[i])
+        if c < 0:
+            continue
+        qrid = int(rids[q_l[i]])
+        if c == qrid:
+            continue
+        attempted_now.add((qrid, c))
+        sc = int(score[i])
+        aln = max(int(ea[i] - ba[i]), int(eb[i] - bb[i]))
+        if aln <= 0 or sc < p.min_score:
+            continue
+        ident = mat[i] / aln
+        if ident < p.min_id:
+            continue
+        hits.append((qrid, int(lens[q_l[i]]), c, int(drs[i]),
+                     int(ba[i]), int(ea[i]), int(bb[i]), int(eb[i]),
+                     sc, int(mat[i]), aln))
+    for qrid, qlen, c, dr, tb, te, qb, qe, sc, m, aln in hits:
+        if (c, qrid) in attempted_now and c < qrid:
+            continue
+        key = (min(qrid, c), max(qrid, c))
+        if key in emitted_pairs:
+            continue
+        emitted_pairs.add(key)
+        clen = int(rb.lengths[c])
+        overlaps.append(Overlap(
+            rid1=qrid, dir1=0, beg1=tb, end1=te,
+            rid2=c, dir2=dr, beg2=qb, end2=qe,
+            score=sc, identity=m / aln, mat=m,
+            mis=0, ins=0, dl=0, aln=aln, cigar=f"{aln}M",
+        ))
+        x1 = min(tb, qb)
+        x2 = min(qlen - te, clen - qe)
+        if x1 + x2 <= p.max_unalign_dovetail:
+            rdcovs[qrid] += 1
+            rdcovs[c] += 1
+        # contained candidate (skip_contained, max_unalign_in_contained=0)
+        if rdmask is not None and qb <= 0 and qe >= clen:
+            rdmask[c] = True
+    for qrid, c in attempted_now:
+        attempted_by[c].append(qrid)
+
+
+def overlap_reads(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True):
+    """Engine-dispatching alias (dm = dot-matrix, sw = banded local DP)."""
+    return overlap_dmo(rb, params, progress)
