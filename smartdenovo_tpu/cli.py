@@ -81,6 +81,23 @@ def _add_mer(sub):
     q.add_argument("-H", "--no-hz", action="store_true")
 
 
+def _add_util(sub):
+    q = sub.add_parser("n50", help="contiguity stats (seq_n50.pl)")
+    q.add_argument("inputs", nargs="+")
+    q = sub.add_parser("fq2fa", help="FASTQ -> FASTA (fq2fa.pl)")
+    q.add_argument("inputs", nargs="+")
+    q.add_argument("-o", "--output", default="-")
+    q = sub.add_parser("pairaln", help="align two sequences (pairaln)")
+    q.add_argument("inputs", nargs="+", help="FASTA with pairs of reads")
+    q = sub.add_parser("cyc", help="self-revcomp palindrome mask (wtcyc)")
+    q.add_argument("inputs", nargs="+")
+    q.add_argument("-o", "--output", default="-")
+    q.add_argument("-s", "--min-score", type=int, default=200)
+    q = sub.add_parser("idx", help="build + snapshot the overlap indexes (wtidx)")
+    q.add_argument("inputs", nargs="+")
+    q.add_argument("-o", "--output", required=True)
+
+
 def _add_asm(sub):
     q = sub.add_parser("asm", help="full dmo assembly (smartdenovo.pl)")
     q.add_argument("inputs", nargs="+")
@@ -93,7 +110,7 @@ def _add_asm(sub):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="sdtpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for f in (_add_pre, _add_zmo, _add_clp, _add_lay, _add_cns, _add_mer, _add_asm):
+    for f in (_add_pre, _add_zmo, _add_clp, _add_lay, _add_cns, _add_mer, _add_util, _add_asm):
         f(sub)
     args = ap.parse_args(argv)
 
@@ -204,6 +221,40 @@ def main(argv=None):
         from .pipeline.mer import run_mer
 
         run_mer(args.inputs, ksize=args.ksize, hz=not args.no_hz)
+        return 0
+
+    if args.cmd == "n50":
+        from .utils.stats import print_n50
+
+        print_n50(args.inputs)
+        return 0
+
+    if args.cmd == "fq2fa":
+        from .io.fasta import read_seqs, write_fasta
+
+        out = sys.stdout if args.output == "-" else open(args.output, "w")
+        for tag, desc, seq in read_seqs(args.inputs):
+            write_fasta(out, tag + desc, seq)
+        if out is not sys.stdout:
+            out.close()
+        return 0
+
+    if args.cmd == "pairaln":
+        from .pipeline.aln_tools import run_pairaln
+
+        run_pairaln(args.inputs)
+        return 0
+
+    if args.cmd == "cyc":
+        from .pipeline.aln_tools import run_cyc
+
+        run_cyc(args.inputs, args.output, min_score=args.min_score)
+        return 0
+
+    if args.cmd == "idx":
+        from .pipeline.idx import build_and_save_indexes
+
+        build_and_save_indexes(args.inputs, args.output)
         return 0
 
     if args.cmd == "asm":

@@ -1,0 +1,69 @@
+"""Small alignment tools — equivalents of `pairaln` and `wtcyc`.
+
+pairaln: align consecutive read pairs from FASTA input and print stats
+(reference pairaln.c — a 2-sequence debugging harness).
+wtcyc: align each read against its own reverse complement to detect
+missed-adapter palindromes; emit a retained-region mask for the longer
+half (reference wtcyc.c, README-tools.md:320-335).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data.readbank import revcomp_codes, seq_to_codes
+from ..io.fasta import read_seqs
+from ..ops.overlap_dp import banded_local_dp
+
+
+def _align_two(a_codes: np.ndarray, b_codes: np.ndarray, W: int = 256):
+    LA = 1 << max(8, (len(a_codes) - 1).bit_length())
+    a = np.full((1, LA), 4, np.uint8)
+    a[0, : len(a_codes)] = a_codes
+    b = np.full((1, max(LA, len(b_codes))), 4, np.uint8)
+    b[0, : len(b_codes)] = b_codes
+    alen = np.array([len(a_codes)], np.int32)
+    blen = np.array([len(b_codes)], np.int32)
+    slope = np.array([1 << 12], np.int32)
+    zero = np.zeros(1, np.int32)
+    sc, mat, ea, eb = banded_local_dp(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen), jnp.asarray(blen),
+        jnp.asarray(zero), jnp.asarray(zero), jnp.asarray(slope),
+        LA=LA, W=W,
+    )
+    return int(sc[0]), int(mat[0]), int(ea[0]), int(eb[0])
+
+
+def run_pairaln(inputs, out=None):
+    out = out or sys.stdout
+    recs = list(read_seqs(inputs))
+    for i in range(0, len(recs) - 1, 2):
+        n1, _, s1 = recs[i]
+        n2, _, s2 = recs[i + 1]
+        sc, mat, ea, eb = _align_two(seq_to_codes(s1), seq_to_codes(s2))
+        aln = max(ea, eb)
+        out.write(f"{n1}\t{len(s1)}\t{n2}\t{len(s2)}\t{sc}\t{mat}\t"
+                  f"{mat / max(1, aln):.3f}\n")
+
+
+def run_cyc(inputs, output="-", min_score: int = 200, out=None):
+    """Detect palindromic (self-revcomp) reads; keep the longer half."""
+    fh = sys.stdout if output == "-" else open(output, "w")
+    try:
+        for name, _, seq in read_seqs(inputs):
+            codes = seq_to_codes(seq)
+            rc = revcomp_codes(codes)
+            sc, mat, ea, eb = _align_two(codes, rc)
+            ln = len(codes)
+            if sc >= min_score and mat >= 0.3 * ln:
+                # palindrome: keep the longer half up to the fold point
+                mid = ln // 2
+                fh.write(f"{name}\t0\t{mid}\t{ln}\n")
+            else:
+                fh.write(f"{name}\t0\t{ln}\t{ln}\n")
+    finally:
+        if fh is not sys.stdout:
+            fh.close()
