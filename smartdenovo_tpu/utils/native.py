@@ -94,3 +94,50 @@ class DagCns:
         self._lib.dagcns_get_cns(self._h, self._u8ptr(out), len(out))
         score = self._lib.dagcns_score(self._h)
         return out[:n], (mp if with_map else None), score
+
+
+class PoaCns:
+    """ctypes wrapper over native/poa.cpp (wtmsa's POA consensus engine)."""
+
+    def __init__(self, match=2, mismatch=-5, gap=-3, band=100):
+        lib = build_and_load("poa")
+        lib.poa_new.restype = ctypes.c_void_p
+        lib.poa_new.argtypes = [ctypes.c_int] * 4
+        lib.poa_free.argtypes = [ctypes.c_void_p]
+        lib.poa_init_backbone.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.poa_align_and_add.restype = ctypes.c_int
+        lib.poa_align_and_add.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib.poa_consensus.restype = ctypes.c_int
+        lib.poa_consensus.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        self._lib = lib
+        self._h = lib.poa_new(match, mismatch, gap, band)
+        self.backbone_size = 0
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.poa_free(self._h)
+            self._h = None
+
+    @staticmethod
+    def _u8(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def init_backbone(self, codes: np.ndarray):
+        codes = np.ascontiguousarray(codes, np.uint8)
+        self.backbone_size = len(codes)
+        self._lib.poa_init_backbone(self._h, self._u8(codes), len(codes))
+
+    def align_and_add(self, read: np.ndarray, wlo: int, whi: int) -> int:
+        read = np.ascontiguousarray(read, np.uint8)
+        return self._lib.poa_align_and_add(self._h, self._u8(read), len(read),
+                                           int(wlo), int(whi))
+
+    def consensus(self) -> np.ndarray:
+        cap = max(64, self.backbone_size * 2 + 64)
+        out = np.zeros(cap, np.uint8)
+        n = self._lib.poa_consensus(self._h, self._u8(out), cap)
+        return out[:n].copy()
