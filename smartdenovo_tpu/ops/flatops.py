@@ -31,7 +31,7 @@ def expand_ranges(cnt: jnp.ndarray, budget: int):
         .at[idx]
         .max(jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop")[:budget]
     )
-    src = jax.lax.associative_scan(jnp.maximum, mark) - 1
+    src = jax.lax.cummax(mark) - 1
     src_c = jnp.clip(src, 0, n - 1)
     p = jnp.arange(budget, dtype=jnp.int32)
     within = p - starts[src_c]
