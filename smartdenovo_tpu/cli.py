@@ -93,6 +93,8 @@ def _add_util(sub):
     q.add_argument("inputs", nargs="+")
     q.add_argument("-o", "--output", default="-")
     q.add_argument("-s", "--min-score", type=int, default=200)
+    q = sub.add_parser("dif", help="variants of reads vs first read (wtdif)")
+    q.add_argument("inputs", nargs="+")
     q = sub.add_parser("idx", help="build + snapshot the overlap indexes (wtidx)")
     q.add_argument("inputs", nargs="+")
     q.add_argument("-o", "--output", required=True)
@@ -249,6 +251,12 @@ def main(argv=None):
         from .pipeline.aln_tools import run_cyc
 
         run_cyc(args.inputs, args.output, min_score=args.min_score)
+        return 0
+
+    if args.cmd == "dif":
+        from .pipeline.aln_tools import run_dif
+
+        run_dif(args.inputs)
         return 0
 
     if args.cmd == "idx":

@@ -67,3 +67,49 @@ def run_cyc(inputs, output="-", min_score: int = 200, out=None):
     finally:
         if fh is not sys.stdout:
             fh.close()
+
+
+def run_dif(inputs, out=None, W: int = 256):
+    """wtdif equivalent: align reads 2..N to read 1, report variants.
+
+    Output: qname, pos-on-ref, type(S/I/D), ref base(s), alt base(s).
+    """
+    from ..ops.banded import banded_align, make_band_centers, traceback_banded
+    from ..ops.swdp import align_strings
+    import jax.numpy as jnp
+
+    out = out or sys.stdout
+    recs = list(read_seqs(inputs))
+    if len(recs) < 2:
+        return
+    ref_name, _, ref_seq = recs[0]
+    ref = seq_to_codes(ref_seq)
+    for name, _, seq in recs[1:]:
+        codes = seq_to_codes(seq)
+        LA = 1 << max(8, (len(codes) - 1).bit_length())
+        a = np.full((1, LA), 4, np.uint8)
+        a[0, : len(codes)] = codes
+        b = np.full((1, len(ref)), 4, np.uint8)
+        b[0] = ref
+        alen = np.array([len(codes)], np.int32)
+        blen = np.array([len(ref)], np.int32)
+        base = make_band_centers([[]], alen, blen, LA, W)
+        score, end_col, dirs = banded_align(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen), jnp.asarray(blen),
+            jnp.asarray(base), LA=LA, W=W, semiglobal_b=True,
+        )
+        cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen,
+                                        np.asarray(end_col))
+        ops, counts = cigs[0]
+        ra, rb = align_strings(a[0], b[0][int(b_begs[0]):], ops, counts)
+        pos = int(b_begs[0])
+        bases = "ACGT-"
+        for x, y in zip(ra, rb):
+            if y != 4 and x != 4 and x != y:
+                out.write(f"{name}\t{pos}\tS\t{bases[y]}\t{bases[x]}\n")
+            elif y == 4 and x != 4:
+                out.write(f"{name}\t{pos}\tI\t-\t{bases[x]}\n")
+            elif x == 4 and y != 4:
+                out.write(f"{name}\t{pos}\tD\t{bases[y]}\t-\n")
+            if y != 4:
+                pos += 1

@@ -78,3 +78,19 @@ def test_idx_snapshot_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(kidx.kmers), np.asarray(k2.kmers))
     np.testing.assert_array_equal(np.asarray(zidx.post_off), np.asarray(z2.post_off))
     assert k2.max_freq == kidx.max_freq and z2.zsize == zidx.zsize
+
+
+def test_dif_variants(tmp_path, capsys):
+    from smartdenovo_tpu.cli import main
+    from smartdenovo_tpu.data.readbank import codes_to_seq
+
+    rng = np.random.default_rng(12)
+    ref = rng.integers(0, 4, 300).astype(np.uint8)
+    alt = ref.copy()
+    alt[150] = (alt[150] + 1) % 4
+    fa = tmp_path / "d.fa"
+    fa.write_text(f">ref\n{codes_to_seq(ref)}\n>alt\n{codes_to_seq(alt)}\n")
+    assert main(["dif", str(fa)]) == 0
+    cap = capsys.readouterr()
+    rows = [l.split("\t") for l in cap.out.strip().splitlines()]
+    assert any(r[1] == "150" and r[2] == "S" for r in rows), rows
