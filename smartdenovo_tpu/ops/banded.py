@@ -26,7 +26,9 @@ DIAG, UP, LEFT, STOP = 1, 2, 3, 0
 
 
 @functools.partial(
-    jax.jit, static_argnames=("LA", "W", "match", "mismatch", "gap", "semiglobal_b")
+    jax.jit,
+    static_argnames=("LA", "W", "match", "mismatch", "gap", "gap_a", "gap_b",
+                     "semiglobal_b"),
 )
 def banded_align(
     a: jnp.ndarray,       # [B, LA] uint8
@@ -40,6 +42,8 @@ def banded_align(
     match: int = 2,
     mismatch: int = -5,
     gap: int = -3,
+    gap_a: int | None = None,   # cost of consuming a (insertion in a / UP)
+    gap_b: int | None = None,   # cost of consuming b (deletion / LEFT)
     semiglobal_b: bool = False,
 ):
     """Returns (score [B], end_col [B], dirs [B, LA+1, W] uint8).
@@ -48,6 +52,10 @@ def banded_align(
     local): row 0 costs nothing and the score is the best cell of the
     last row — the mode used for read-vs-backbone consensus alignment.
     """
+    if gap_a is None:
+        gap_a = gap
+    if gap_b is None:
+        gap_b = gap
     B = a.shape[0]
     LB = b.shape[1]
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -55,11 +63,11 @@ def banded_align(
     bi = b.astype(jnp.int32)
 
     def leftscan(m):
-        # S[c] = max_{k<=c} m[k] + gap*(c-k), via associative max-plus scan
+        # S[c] = max_{k<=c} m[k] + gap_b*(c-k), via associative max-plus scan
         def comb(x, y):
             vx, nx = x
             vy, ny = y
-            return jnp.maximum(vx + gap * ny, vy), nx + ny
+            return jnp.maximum(vx + gap_b * ny, vy), nx + ny
 
         ones = jnp.ones_like(m)
         s, _ = jax.lax.associative_scan(comb, (m, ones), axis=1)
@@ -67,7 +75,7 @@ def banded_align(
 
     def row0():
         j = base[:, 0:1] + lanes
-        h = jnp.zeros_like(j) if semiglobal_b else gap * j
+        h = jnp.zeros_like(j) if semiglobal_b else gap_b * j
         ok = (j >= 0) & (j <= blen[:, None])
         h = jnp.where(ok, h, NEG_INF)
         if semiglobal_b:
@@ -101,11 +109,11 @@ def banded_align(
                                           keepdims=True)  # [B, 1]
         bc = jnp.take_along_axis(bi, jnp.clip(j - 1, 0, LB - 1), axis=1)
         sub = jnp.where((ac == bc) & (ac < 4), match, mismatch)
-        m = jnp.maximum(dg + sub, up + gap)
-        dirm = jnp.where(dg + sub >= up + gap, jnp.uint8(DIAG), jnp.uint8(UP))
+        m = jnp.maximum(dg + sub, up + gap_a)
+        dirm = jnp.where(dg + sub >= up + gap_a, jnp.uint8(DIAG), jnp.uint8(UP))
         # first column boundary
         at0 = j == 0
-        m = jnp.where(at0, gap * i, m)
+        m = jnp.where(at0, gap_a * i, m)
         dirm = jnp.where(at0, jnp.uint8(UP), dirm)
         okj = (j >= 0) & (j <= blen[:, None])
         oki = i <= alen[:, None]

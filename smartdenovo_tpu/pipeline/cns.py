@@ -45,7 +45,9 @@ class CnsParams:
     alt_penalty: float = 0.2   # -N
     match: int = 2
     mismatch: int = -5
-    gap: int = -3
+    gap: int = -3          # -O, first round
+    gap_ins: int = -2      # -I, later rounds (insertion in read)
+    gap_del: int = -3      # -D, later rounds (deletion vs consensus)
     band: int = 256            # band width for the guided DP
     win_margin: int = 600      # cns window margin around expected span
     batch_reads: int = 48
@@ -280,10 +282,14 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None) -> np.ndarray:
                 b[i, : len(w)] = w
                 blen[i] = len(w)
             base = make_band_centers(anchors, alen, blen, LA, p.band)
+            # reference wtcns: -O in round 1, asymmetric -I/-D afterwards
+            ga = p.gap if it == 0 else p.gap_ins
+            gb = p.gap if it == 0 else p.gap_del
             score, end_col, dirs = banded_align(
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen), jnp.asarray(blen),
                 jnp.asarray(base), LA=LA, W=p.band,
-                match=p.match, mismatch=p.mismatch, gap=p.gap, semiglobal_b=True,
+                match=p.match, mismatch=p.mismatch, gap=p.gap,
+                gap_a=ga, gap_b=gb, semiglobal_b=True,
             )
             score = np.asarray(score)
             cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen, np.asarray(end_col))
