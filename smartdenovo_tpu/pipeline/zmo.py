@@ -123,13 +123,18 @@ class Overlap:
         )
 
 
-def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True):
+def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True,
+                preattempted=None, attempted_out: list | None = None):
     """Run the dot-matrix all-vs-all overlapper.  Returns list[Overlap].
 
     Device work is dispatched asynchronously one batch ahead of the host
     post-processing (emit); the attempted-pair ledger therefore lags one
     batch, which stays deterministic — cross-batch duplicate attempts are
     resolved at emit time by the global emitted-pair set.
+
+    preattempted: iterable of (name1, name2) pairs to skip (the reference's
+    -L ledger, wtzmo.c:1758-1773).  attempted_out: if a list is passed,
+    every attempted pair is appended as (name1, name2) (the -9 ledger).
     """
     p = params or ZmoParams.dmo()
     n = len(rb)
@@ -145,6 +150,14 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     rdcovs = np.zeros(n, np.int64)
     rdmask = np.zeros(n, bool)  # contained reads (SW engine skip_contained)
     attempted_by: list[list[int]] = [[] for _ in range(n)]
+    if preattempted:
+        for n1, n2 in preattempted:
+            i1 = rb.name2id.get(n1)
+            i2 = rb.name2id.get(n2)
+            if i1 is None or i2 is None:
+                continue
+            attempted_by[i1].append(i2)
+            attempted_by[i2].append(i1)
     overlaps: list[Overlap] = []
     emitted_pairs: set[tuple[int, int]] = set()
     A = p.ncand
@@ -220,35 +233,36 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         nxt = dispatch(b0)
         if pending is not None:
             _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
-                          emitted_pairs, A, rdmask)
+                          emitted_pairs, A, rdmask, attempted_out)
         pending = nxt
         if progress and (b0 // Q) % 8 == 0:
             log("overlapped %d/%d reads, %d overlaps", min(n, b0 + Q), n, len(overlaps))
     if pending is not None:
         _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
-                      emitted_pairs, A, rdmask)
+                      emitted_pairs, A, rdmask, attempted_out)
     log("overlap done: %d overlaps", len(overlaps))
     return overlaps
 
 
 def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A,
-                  rdmask=None):
+                  rdmask=None, attempted_out=None):
     if int(d["cand_total"]) > p.cand_budget:
         log("WARNING: candidate budget overflow (%d > %d)", int(d["cand_total"]), p.cand_budget)
     if int(d["total"]) > p.pair_budget:
         log("WARNING: pair budget overflow (%d > %d)", int(d["total"]), p.pair_budget)
     if p.engine == "sw":
-        _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdmask)
+        _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs,
+                       rdmask, attempted_out)
     else:
         _emit_batch(
             rb, p, d["rids"], d["lens"], np.asarray(d["cands"]), np.asarray(d["csorted"]),
             np.asarray(d["match_cnt"]), d["res"], rdcovs, attempted_by, overlaps, A,
-            emitted_pairs,
+            emitted_pairs, attempted_out,
         )
 
 
 def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
-                attempted_by, overlaps, A, emitted_pairs=None):
+                attempted_by, overlaps, A, emitted_pairs=None, attempted_out=None):
     """Host-side combine: dir choice, ztot gate, ledger, dedup, filters."""
     if emitted_pairs is None:
         emitted_pairs = set()
@@ -323,6 +337,8 @@ def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
     # ledger for future batches: any attempted pair suppresses the reverse
     for qrid, cand in attempted_now:
         attempted_by[cand].append(qrid)
+        if attempted_out is not None:
+            attempted_out.append((rb.names[qrid], rb.names[cand]))
 
 
 def write_overlaps(path: str, rb: ReadBank, overlaps) -> None:
@@ -333,7 +349,8 @@ def write_overlaps(path: str, rb: ReadBank, overlaps) -> None:
             fh.write("\n")
 
 
-def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdmask):
+def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdmask,
+                   attempted_out=None):
     """Host combine for the SW engine: DP-score filters, containment mask."""
     sw = d["sw"]
     rids = d["rids"]
@@ -391,8 +408,31 @@ def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdma
             rdmask[c] = True
     for qrid, c in attempted_now:
         attempted_by[c].append(qrid)
+        if attempted_out is not None:
+            attempted_out.append((rb.names[qrid], rb.names[c]))
 
 
-def overlap_reads(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True):
+def overlap_reads(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True,
+                  preattempted=None, attempted_out=None):
     """Engine-dispatching alias (dm = dot-matrix, sw = banded local DP)."""
-    return overlap_dmo(rb, params, progress)
+    return overlap_dmo(rb, params, progress, preattempted, attempted_out)
+
+
+def read_pair_ledger(paths):
+    """Load -L ledger files: two read names per line."""
+    pairs = []
+    if isinstance(paths, str):
+        paths = [paths]
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                c = line.split()
+                if len(c) >= 2:
+                    pairs.append((c[0], c[1]))
+    return pairs
+
+
+def write_pair_ledger(path, pairs):
+    with open(path, "w") as fh:
+        for a, b in pairs:
+            fh.write(f"{a}\t{b}\n")

@@ -93,3 +93,29 @@ def test_dmo_strand_consistency(small_assembly_input):
     # we can't know the strand from the name alone, so just check both dirs occur
     dirs = {ov.dir2 for ov in overlaps}
     assert dirs == {0, 1}
+
+
+def test_ledger_files(tmp_path, small_assembly_input):
+    """-L suppression: preattempted pairs are skipped; -9 records attempts."""
+    from smartdenovo_tpu.pipeline.zmo import (
+        ZmoParams, overlap_dmo, read_pair_ledger, write_pair_ledger,
+    )
+
+    g, rb, overlaps = small_assembly_input
+    params = ZmoParams.dmo(
+        batch_q=8, cand_budget=1 << 18, expand_budget=1 << 21, pair_budget=1 << 19,
+        ncand=64,
+    )
+    attempted = []
+    # suppress everything that was attempted before -> no overlaps at all
+    pre = [(rb.names[o.rid1], rb.names[o.rid2]) for o in overlaps]
+    ovls2 = overlap_dmo(rb, params, progress=False, preattempted=pre,
+                        attempted_out=attempted)
+    before = {(min(o.rid1, o.rid2), max(o.rid1, o.rid2)) for o in overlaps}
+    after = {(min(o.rid1, o.rid2), max(o.rid1, o.rid2)) for o in ovls2}
+    assert not (before & after), "suppressed pairs were re-emitted"
+    # ledger round trip
+    p9 = tmp_path / "att.pairs"
+    write_pair_ledger(str(p9), attempted)
+    back = read_pair_ledger(str(p9))
+    assert back == attempted
