@@ -134,6 +134,8 @@ def sharded_overlap_step(mesh: Mesh, n_reads: int, *, budget: int, pair_budget: 
         total = jax.lax.psum(partial, axis_name="idx")
         total = jnp.minimum(total, qlens[:, None])
         total = jnp.where(total >= kovl, total, 0)
+        if n_reads < A:  # tiny banks: pad columns so top_k(A) is valid
+            total = jnp.pad(total, ((0, 0), (0, A - n_reads)))
         ols, cands = jax.lax.top_k(total, A)
         cands = jnp.where(ols > 0, cands, -1)
         # ---- zmer pairs against the local zmer shard ----
@@ -221,3 +223,94 @@ def sharded_overlap_step(mesh: Mesh, n_reads: int, *, budget: int, pair_budget: 
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def overlap_sharded(rb, params=None, mesh: Mesh | None = None, progress: bool = True):
+    """Multi-device overlap driver: full all-vs-all via the sharded step.
+
+    Batches of queries stream over the `rd` axis while the posting index
+    stays sharded over `idx`; host post-processing applies the same
+    score/identity filters and pair dedup as the single-chip driver.
+    Candidate coverage uses the capped-sum approximation (psum over idx
+    shards), so candidate sets can differ slightly from the single-chip
+    union-length scoring; final overlaps are still dot-matrix-scored.
+    """
+    from ..data.readbank import ReadBank
+    from ..ops.index import build_kmer_index, build_zmer_index
+    from ..ops.seeds import extract_seeds, subsample_mask
+    from ..pipeline.zmo import Overlap, ZmoParams, _pad_tier
+    from ..utils.log import log
+
+    p = params or ZmoParams.dmo()
+    mesh = mesh or make_overlap_mesh()
+    n_rd, n_idx = mesh.devices.shape
+    n = len(rb)
+    if n == 0:
+        return []
+    kidx = build_kmer_index(rb, p.ksize, p.hz, p.ksave, p.max_kmer_freq)
+    zidx = build_zmer_index(rb, p.zsize, p.hz, p.max_zmer_freq)
+    sk = shard_index(kidx.kmers, kidx.post_rd, kidx.post_dir, None, None, n_idx)
+    sz = shard_index(zidx.zmers, zidx.post_rd, zidx.post_dir, zidx.post_off,
+                     zidx.post_span, n_idx)
+    read_lens = jnp.asarray(rb.lengths)
+    A = min(p.ncand, 64)
+    Q = max(p.batch_q, n_rd)
+    Q = ((Q + n_rd - 1) // n_rd) * n_rd
+    Ltier = _pad_tier(int(rb.lengths[0]))
+    step = sharded_overlap_step(
+        mesh, n, budget=p.cand_budget // n_idx, pair_budget=p.pair_budget // n_idx,
+        ncand=A, kovl=p.kovl, nb=p.nb,
+    )
+    overlaps = []
+    emitted = set()
+    for b0 in range(0, n, Q):
+        real = np.arange(b0, min(n, b0 + Q))
+        rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
+        batch, lens = rb.batch(rids, pad_to=Ltier)
+        kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
+        kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
+        zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
+        out = step(
+            kres["kmer"], kres["span"], kvalid,
+            zres["kmer"], zres["off"], zres["span"], zres["valid"], zres["dir"],
+            jnp.asarray(rids, jnp.int32), jnp.asarray(lens), read_lens,
+            sk.kmers, sk.post_rd, sk.post_dir,
+            sz.kmers, sz.post_rd, sz.post_dir, sz.post_off, sz.post_span,
+        )
+        cands, ols, pair_id, score, tb, te, qb, qe = (np.asarray(x) for x in out)
+        csorted = np.sort(np.where(cands < 0, 0x7FFFFFFF, cands), axis=1)
+        # pair ids are shard-local (each rd shard numbers its own Qloc rows);
+        # the position within the concatenated output identifies the shard
+        Qloc = Q // n_rd
+        rows_per_shard = Qloc * A * 2
+        for row in range(len(pair_id)):
+            pid = int(pair_id[row])
+            if pid >= rows_per_shard:
+                continue
+            shard = row // rows_per_shard
+            qi = shard * Qloc + pid // (A * 2)
+            slot = (pid // 2) % A
+            d = pid & 1
+            if qi >= len(real):
+                continue
+            qrid = int(rids[qi])
+            cand = int(csorted[qi, slot])
+            if cand >= n or cand == qrid:
+                continue
+            sc = int(score[row])
+            ol = max(int(te[row] - tb[row]), int(qe[row] - qb[row]))
+            if ol <= 0 or sc < p.min_score or sc < int(p.min_id * ol):
+                continue
+            key = (min(qrid, cand), max(qrid, cand))
+            if key in emitted:
+                continue
+            emitted.add(key)
+            overlaps.append(Overlap(
+                rid1=qrid, dir1=0, beg1=int(tb[row]), end1=int(te[row]),
+                rid2=cand, dir2=d, beg2=int(qb[row]), end2=int(qe[row]),
+                score=sc, identity=sc / ol, mat=sc, mis=0, ins=0, dl=0, aln=ol,
+            ))
+        if progress:
+            log("sharded overlap %d/%d reads, %d overlaps", min(n, b0 + Q), n,
+                len(overlaps))
+    return overlaps

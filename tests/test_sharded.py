@@ -54,3 +54,35 @@ def test_sharded_overlap_step_runs():
     # coordinates sane where scored
     live = score > 200
     assert (tb[live] >= 0).all() and (qb[live] >= 0).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_overlap_sharded_driver():
+    from smartdenovo_tpu.parallel.sharded import overlap_sharded
+    from smartdenovo_tpu.pipeline.zmo import ZmoParams
+
+    rng = np.random.default_rng(81)
+    g = random_genome(rng, 15000)
+    names, seqs = simulate_reads(g, coverage=7, mean_len=3500, err=0.12, seed=82)
+    rb = ReadBank(names, seqs)
+    params = ZmoParams.dmo(batch_q=8, cand_budget=1 << 18, pair_budget=1 << 19,
+                           ncand=32)
+    mesh = make_overlap_mesh(jax.devices()[:8], idx_shards=2)
+    ovls = overlap_sharded(rb, params, mesh, progress=False)
+    assert len(ovls) > 10
+
+    def iv(nm):
+        parts = nm.split("_")
+        return int(parts[-2]), int(parts[-2]) + int(parts[-1])
+
+    found = {(min(o.rid1, o.rid2), max(o.rid1, o.rid2)) for o in ovls}
+    total = hit = 0
+    for i in range(len(rb)):
+        bi, ei = iv(rb.names[i])
+        for j in range(i + 1, len(rb)):
+            bj, ej = iv(rb.names[j])
+            if min(ei, ej) - max(bi, bj) >= 2500:
+                total += 1
+                hit += (i, j) in found
+    assert total > 10
+    assert hit / total > 0.7, f"sharded recall {hit}/{total}"
