@@ -1181,8 +1181,8 @@ class StringGraph:
         return ln
 
     def output_layout(self, lay_fh, utg_fh, dup_lay_fh=None, dup_utg_fh=None,
-                      utg_sm: float = 0.4):
-        """Write .lay + .utg (and .dup variants) — wtlay.c:2740-2838."""
+                      utg_sm: float = 0.4, lnk_fh=None):
+        """Write .lay + .utg (and .dup/.lnk variants) — wtlay.c:2740-2838."""
         n_indep = 0
         for i, lay in enumerate(self.lays):
             if len(lay) < MIN_LAY_NODES:
@@ -1207,6 +1207,24 @@ class StringGraph:
             ctg = np.zeros(ln, dtype=np.uint8)
             built = 0
             for nid, dir, fwd, bwd, off, cont in lay:
+                if lnk_fh is not None and not cont:
+                    n1 = self.nodes[nid]
+                    for k in (0, 1):
+                        for e in n1.edges[k]:
+                            if e.closed == 2:
+                                continue
+                            n2 = self.nodes[e.node_id]
+                            if n2.lay_id == i or n2.lay_id == -1:
+                                continue
+                            p = e.rev
+                            ovl = self.edge_overlap(nid, e)
+                            ovl2 = self.edge_overlap(e.node_id, p)
+                            lnk_fh.write(
+                                f"utg{n1.lay_id}\t{self.rb.names[nid]}\t{'+-'[n1.lay_dir]}\t{n1.lay_off}"
+                                f"\tutg{n2.lay_id}\t{self.rb.names[e.node_id]}\t{'+-'[n2.lay_dir]}\t{n2.lay_off}"
+                                f"\t{'+-'[k]}\t{self.rb.lengths[nid]}\t{e.off}\t{e.off + ovl}"
+                                f"\t{'+-'[e.dir]}\t{self.rb.lengths[e.node_id]}\t{p.off}\t{p.off + ovl2}"
+                                f"\t{e.score}\n")
                 rdlen = int(self.rb.lengths[nid])
                 codes = self.rb.get(nid)
                 if dir:

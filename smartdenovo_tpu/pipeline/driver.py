@@ -128,8 +128,9 @@ def write_outputs(res: AssemblyResult, prefix: str):
     write_overlaps(prefix + ".ovl", res.orig_rb, res.overlaps)
     write_clp(prefix + ".obt", res.clips)
     with open(prefix + ".lay", "w") as lay_fh, open(prefix + ".lay.utg", "w") as utg_fh, \
-         open(prefix + ".lay.dup", "w") as dup_lay, open(prefix + ".lay.utg.dup", "w") as dup_utg:
+         open(prefix + ".lay.dup", "w") as dup_lay, open(prefix + ".lay.utg.dup", "w") as dup_utg, \
+         open(prefix + ".lay.lnk", "w") as lnk_fh:
         n = res.graph.output_layout(lay_fh, utg_fh, dup_lay, dup_utg,
-                                    utg_sm=res.graph.p.utg_sm)
+                                    utg_sm=res.graph.p.utg_sm, lnk_fh=lnk_fh)
     log("wrote %d independent unitigs to %s.lay.utg", n, prefix)
     return n
