@@ -101,11 +101,13 @@ def _add_util(sub):
 
 
 def _add_asm(sub):
-    q = sub.add_parser("asm", help="full dmo assembly (smartdenovo.pl)")
+    q = sub.add_parser("asm", help="full assembly (smartdenovo.pl)")
     q.add_argument("inputs", nargs="+")
     q.add_argument("-p", "--prefix", default="wtasm")
+    q.add_argument("-e", "--engine", choices=("dmo", "zmo"), default="dmo")
     q.add_argument("-J", "--min-len", type=int, default=5000)
     q.add_argument("-c", "--consensus", type=int, default=0)
+    q.add_argument("--cns-engine", choices=("dag", "poa"), default="dag")
     q.add_argument("--batch-q", type=int, default=16)
 
 
@@ -279,14 +281,26 @@ def main(argv=None):
             names.append(name)
             seqs.append(seq_to_codes(seq))
         rb = ReadBank(names, seqs)
-        res = assemble_dmo(rb, ZmoParams.dmo(batch_q=args.batch_q))
-        write_outputs(res, args.prefix + ".dmo")
+        if args.engine == "zmo":
+            from .pipeline.driver import assemble_zmo
+
+            res = assemble_zmo(rb, ZmoParams.zmo(batch_q=args.batch_q))
+        else:
+            res = assemble_dmo(rb, ZmoParams.dmo(batch_q=args.batch_q))
+        write_outputs(res, args.prefix + "." + args.engine)
         if args.consensus:
-            from .pipeline.cns import CnsParams, run_cns, units_from_graph, write_cns
+            from .pipeline.cns import units_from_graph, write_cns
 
             units = units_from_graph(res.graph)
-            cns = run_cns(units, CnsParams())
-            write_cns(args.prefix + ".dmo.cns", cns)
+            if args.cns_engine == "poa":
+                from .pipeline.msa import run_msa
+
+                cns = run_msa(units)
+            else:
+                from .pipeline.cns import CnsParams, run_cns
+
+                cns = run_cns(units, CnsParams())
+            write_cns(args.prefix + "." + args.engine + ".cns", cns)
         return 0
 
     return 1

@@ -45,6 +45,7 @@ class PairBatch(NamedTuple):
     len2: jnp.ndarray     # [PB] int32
     match_cnt: jnp.ndarray  # [Q*A*2] int32 seed matches per pair (pre-budget)
     total: jnp.ndarray    # scalar: pairs before pair-budget truncation
+    expand_total: jnp.ndarray  # scalar: posting expansion size before budget
 
 
 def _lex_lower_bound(zmers, post_rd, z, rd):
@@ -155,6 +156,7 @@ def extract_zmer_pairs(
         len2=scat(post_span[pidx], 0),
         match_cnt=match_cnt,
         total=total,
+        expand_total=total_exp,
     )
 
 

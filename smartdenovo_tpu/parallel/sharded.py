@@ -194,6 +194,7 @@ def sharded_overlap_step(mesh: Mesh, n_reads: int, *, budget: int, pair_budget: 
             pair_id=gathered[0], off1=gathered[1], off2=gathered[2],
             len1=gathered[3], len2=gathered[4],
             match_cnt=match_cnt, total=jnp.sum(match_cnt),
+            expand_total=jnp.sum(match_cnt),
         )
         qlen_of_pair = jnp.repeat(qlens, A * 2)
         clen_of_pair = jnp.repeat(

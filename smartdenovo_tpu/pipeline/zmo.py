@@ -250,6 +250,9 @@ def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A,
         log("WARNING: candidate budget overflow (%d > %d)", int(d["cand_total"]), p.cand_budget)
     if int(d["total"]) > p.pair_budget:
         log("WARNING: pair budget overflow (%d > %d)", int(d["total"]), p.pair_budget)
+    if int(d.get("expand_total", 0)) > p.expand_budget:
+        log("WARNING: zmer expansion overflow (%d > %d)", int(d["expand_total"]),
+            p.expand_budget)
     if p.engine == "sw":
         _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs,
                        rdmask, attempted_out)
