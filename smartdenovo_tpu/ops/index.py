@@ -148,6 +148,8 @@ class ZmerIndex:
     post_span: jnp.ndarray  # [P] int32 raw covered length
     zsize: int
     max_per_read: int
+    np_zmers: "np.ndarray" = None     # host copy for budget sizing
+    np_key: "np.ndarray" = None       # host packed (zmer<<32)|rd
 
 
 def build_zmer_index(
@@ -207,4 +209,6 @@ def build_zmer_index(
         post_span=jnp.asarray(post_span),
         zsize=zsize,
         max_per_read=max_per_read,
+        np_zmers=zmers,
+        np_key=(zmers.astype(np.uint64) << np.uint64(32)) | post_rd.astype(np.uint64),
     )

@@ -159,3 +159,44 @@ def extract_seeds_np(seq, ksize: int, hz: bool = True):
         off = hzoff[i - ksize]
         out.append((canon, d, off, j + 1 - off))
     return out
+
+
+def np_canonical_kmers(batch, lengths, ksize: int, hz: bool = True):
+    """Numpy twin of extract_seeds returning only (codes, valid) — used by
+    the host to size expansion budgets exactly without a device sync."""
+    import numpy as np
+
+    B, L = batch.shape
+    base = batch.astype(np.int64)
+    pos = np.arange(L)[None, :]
+    inb = pos < lengths[:, None]
+    if hz:
+        prev = np.concatenate([np.full((B, 1), -1), base[:, :-1]], axis=1)
+        keep = inb & (base != prev)
+    else:
+        keep = inb
+    comp_idx = np.cumsum(keep, axis=1) - 1
+    n_comp = comp_idx[:, -1] + 1
+    comp = np.zeros((B, L + 1), np.int64)
+    rows = np.broadcast_to(np.arange(B)[:, None], (B, L))
+    sidx = np.where(keep, comp_idx, L)
+    comp[rows, sidx] = base
+    comp = comp[:, :L]
+    kmer = np.zeros((B, L), np.uint64)
+    for t in range(ksize):
+        shifted = np.concatenate([comp[:, t:], np.zeros((B, t), np.int64)], axis=1)
+        kmer = (kmer << np.uint64(2)) | shifted.astype(np.uint64)
+    mask = np.uint64((1 << (2 * ksize)) - 1)
+    kmer &= mask
+    # revcomp via bit ops
+    x = (~kmer) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x & np.uint64(0x3333333333333333)) << np.uint64(2)) | ((x & np.uint64(0xCCCCCCCCCCCCCCCC)) >> np.uint64(2))
+    x = ((x & np.uint64(0x0F0F0F0F0F0F0F0F)) << np.uint64(4)) | ((x & np.uint64(0xF0F0F0F0F0F0F0F0)) >> np.uint64(4))
+    x = ((x & np.uint64(0x00FF00FF00FF00FF)) << np.uint64(8)) | ((x & np.uint64(0xFF00FF00FF00FF00)) >> np.uint64(8))
+    x = ((x & np.uint64(0x0000FFFF0000FFFF)) << np.uint64(16)) | ((x & np.uint64(0xFFFF0000FFFF0000)) >> np.uint64(16))
+    x = (x << np.uint64(32)) | (x >> np.uint64(32))
+    rc = x >> np.uint64(64 - 2 * ksize)
+    canon = np.minimum(kmer, rc).astype(np.uint32)
+    cpos = np.arange(L)[None, :]
+    valid = (cpos + ksize <= n_comp[:, None]) & (kmer != rc)
+    return canon, valid

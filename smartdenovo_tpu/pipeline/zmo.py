@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..data.readbank import ReadBank
-from ..ops.seeds import extract_seeds, subsample_mask
+from ..ops.seeds import extract_seeds, subsample_mask, np_canonical_kmers
 from ..ops.index import build_kmer_index, build_zmer_index
 from ..ops.candidates import scan_candidates
 from ..ops.dotmatrix import extract_zmer_pairs, dot_matrix_align, PairBatch
@@ -66,7 +66,8 @@ class ZmoParams:
     # batching / budgets (TPU shapes)
     batch_q: int = 16
     cand_budget: int = 1 << 20
-    expand_budget: int = 1 << 22
+    expand_budget: int = 1 << 22        # initial guess; sized per batch
+    expand_budget_cap: int = 1 << 25    # hard memory ceiling
     pair_budget: int = 1 << 20
     nb: int = 32
 
@@ -196,12 +197,27 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             jnp.where(cands_d < 0, INT32_MAX, cands_d), axis=1
         ).astype(jnp.int32)
         zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
+        # exact host-side expansion sizing (numpy twin of the zmer scan):
+        # silent truncation here cost 1/3 of true overlaps before this check
+        codes, valid_np = np_canonical_kmers(batch, lens, p.zsize, p.hz)
+        flat = codes.reshape(-1)
+        lo = np.searchsorted(zidx.np_zmers, flat, side="left")
+        hi = np.searchsorted(zidx.np_zmers, flat, side="right")
+        own = (zidx.np_key.astype(np.uint64) if False else zidx.np_key)
+        probe = (flat.astype(np.uint64) << np.uint64(32)) | np.repeat(
+            rids.astype(np.uint64), codes.shape[1])
+        own_ok = own[np.clip(np.searchsorted(own, probe), 0, len(own) - 1)] == probe
+        cnt = np.where(valid_np.reshape(-1) & own_ok & ((hi - lo) <= 4096), hi - lo, 0)
+        need = int(cnt.sum())
+        ebud = max(1 << 18, 1 << int(np.ceil(np.log2(need + 1024))))
+        ebud = min(ebud, p.expand_budget_cap)
+        pbud = ebud  # filtered pairs can approach the expansion size
         pairs = extract_zmer_pairs(
             zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
             jnp.asarray(rids, jnp.int32), csorted_d,
             zidx.zmers, zidx.post_rd, zidx.post_dir, zidx.post_off, zidx.post_span,
             read_lens,
-            expand_budget=p.expand_budget, pair_budget=p.pair_budget, kvar=p.kvar,
+            expand_budget=ebud, pair_budget=pbud, kvar=p.kvar,
         )
         clen_of_pair = jnp.repeat(
             jnp.where(csorted_d < n, read_lens[jnp.clip(csorted_d, 0, n - 1)], 0)
@@ -248,11 +264,12 @@ def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A,
                   rdmask=None, attempted_out=None):
     if int(d["cand_total"]) > p.cand_budget:
         log("WARNING: candidate budget overflow (%d > %d)", int(d["cand_total"]), p.cand_budget)
-    if int(d["total"]) > p.pair_budget:
-        log("WARNING: pair budget overflow (%d > %d)", int(d["total"]), p.pair_budget)
-    if int(d.get("expand_total", 0)) > p.expand_budget:
+    if int(d["total"]) > d.get("pbud", p.pair_budget):
+        log("WARNING: pair budget overflow (%d > %d)", int(d["total"]),
+            d.get("pbud", p.pair_budget))
+    if int(d.get("expand_total", 0)) > d.get("ebud", p.expand_budget):
         log("WARNING: zmer expansion overflow (%d > %d)", int(d["expand_total"]),
-            p.expand_budget)
+            d.get("ebud", p.expand_budget))
     if p.engine == "sw":
         _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs,
                        rdmask, attempted_out)
