@@ -66,3 +66,16 @@ def test_sw_coords_are_dovetails(sw_overlaps):
         if left + right <= 300:
             good += 1
     assert good / len(overlaps) > 0.7, f"only {good}/{len(overlaps)} dovetail-like"
+
+
+def test_wtext_reextends(sw_overlaps):
+    from smartdenovo_tpu.pipeline.ext import ExtParams, run_ext
+
+    rb, overlaps = sw_overlaps
+    ext = run_ext(rb, overlaps[:20], ExtParams(batch_q=4, cand_cap=8, band_w=128))
+    assert len(ext) >= 0.6 * len(overlaps[:20])
+    for ov in ext:
+        l1, l2 = rb.lengths[ov.rid1], rb.lengths[ov.rid2]
+        assert 0 <= ov.beg1 < ov.end1 <= l1
+        assert 0 <= ov.beg2 < ov.end2 <= l2
+        assert ov.score >= 200
