@@ -196,7 +196,7 @@ def np_canonical_kmers(batch, lengths, ksize: int, hz: bool = True):
     x = ((x & np.uint64(0x0000FFFF0000FFFF)) << np.uint64(16)) | ((x & np.uint64(0xFFFF0000FFFF0000)) >> np.uint64(16))
     x = (x << np.uint64(32)) | (x >> np.uint64(32))
     rc = x >> np.uint64(64 - 2 * ksize)
-    canon = np.minimum(kmer, rc).astype(np.uint32)
+    canon = np.minimum(kmer, rc)  # uint64: supports k>16 (DBG correction)
     cpos = np.arange(L)[None, :]
     valid = (cpos + ksize <= n_comp[:, None]) & (kmer != rc)
     return canon, valid
