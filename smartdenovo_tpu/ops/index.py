@@ -64,6 +64,7 @@ class KmerIndex:
     max_freq: int
     ksize: int
     n_reads: int
+    np_kmers: "np.ndarray" = None  # host copy for budget sizing
 
     @property
     def n_postings(self) -> int:
@@ -134,6 +135,7 @@ def build_kmer_index(
         max_freq=max_freq,
         ksize=ksize,
         n_reads=len(rb),
+        np_kmers=kmers,
     )
 
 

@@ -200,3 +200,19 @@ def np_canonical_kmers(batch, lengths, ksize: int, hz: bool = True):
     cpos = np.arange(L)[None, :]
     valid = (cpos + ksize <= n_comp[:, None]) & (kmer != rc)
     return canon, valid
+
+
+def np_jenkins_u32(key):
+    """Numpy twin of jenkins_hash_u32."""
+    import numpy as np
+
+    key = key.astype(np.uint32)
+    key = key + (key << np.uint32(12))
+    key ^= key >> np.uint32(22)
+    key = key + (key << np.uint32(4))
+    key ^= key >> np.uint32(9)
+    key = key + (key << np.uint32(10))
+    key ^= key >> np.uint32(2)
+    key = key + (key << np.uint32(7))
+    key ^= key >> np.uint32(12)
+    return key

@@ -20,7 +20,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..data.readbank import ReadBank
-from ..ops.seeds import extract_seeds, subsample_mask, np_canonical_kmers
+from ..ops.seeds import (extract_seeds, subsample_mask, np_canonical_kmers,
+                         np_jenkins_u32)
 from ..ops.index import build_kmer_index, build_zmer_index
 from ..ops.candidates import scan_candidates
 from ..ops.dotmatrix import extract_zmer_pairs, dot_matrix_align, PairBatch
@@ -185,12 +186,24 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         sup_cnt[len(real):] = 0
         kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
         kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
+        # exact host-side candidate-expansion sizing
+        kcodes, kval = np_canonical_kmers(batch, lens, p.ksize, p.hz)
+        k32 = kcodes.astype(np.uint32).reshape(-1)
+        if p.ksave > 1:
+            sub = (np_jenkins_u32(k32) % np.uint32(1024 * p.ksave)) < np.uint32(1024)
+        else:
+            sub = np.ones(k32.shape, bool)
+        klo = np.searchsorted(kidx.np_kmers, k32, side="left")
+        khi = np.searchsorted(kidx.np_kmers, k32, side="right")
+        kneed = int(np.where(kval.reshape(-1) & sub, khi - klo, 0).sum())
+        cbud = max(1 << 16, 1 << int(np.ceil(np.log2(kneed + 1024))))
+        cbud = min(cbud, p.expand_budget_cap)
         cands_d, ols_d, cand_total = scan_candidates(
             kres["kmer"], kres["off"], kres["span"], kvalid,
             jnp.asarray(rids, jnp.int32), jnp.asarray(lens), jnp.asarray(qskip),
             kidx.kmers, kidx.post_rd, kidx.post_dir, read_lens,
             jnp.asarray(sup), jnp.asarray(sup_cnt),
-            budget=p.cand_budget, ncand=A, kovl=p.kovl, len_ratio=p.len_ratio,
+            budget=cbud, ncand=A, kovl=p.kovl, len_ratio=p.len_ratio,
         )
         # candidate table sorted by id, on device (no host sync)
         csorted_d = jnp.sort(
@@ -262,8 +275,9 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
 
 def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A,
                   rdmask=None, attempted_out=None):
-    if int(d["cand_total"]) > p.cand_budget:
-        log("WARNING: candidate budget overflow (%d > %d)", int(d["cand_total"]), p.cand_budget)
+    if int(d["cand_total"]) > d.get("cbud", p.cand_budget):
+        log("WARNING: candidate budget overflow (%d > %d)", int(d["cand_total"]),
+            d.get("cbud", p.cand_budget))
     if int(d["total"]) > d.get("pbud", p.pair_budget):
         log("WARNING: pair budget overflow (%d > %d)", int(d["total"]),
             d.get("pbud", p.pair_budget))
