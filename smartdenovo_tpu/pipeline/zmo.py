@@ -196,7 +196,8 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         klo = np.searchsorted(kidx.np_kmers, k32, side="left")
         khi = np.searchsorted(kidx.np_kmers, k32, side="right")
         kneed = int(np.where(kval.reshape(-1) & sub, khi - klo, 0).sum())
-        cbud = max(1 << 16, 1 << int(np.ceil(np.log2(kneed + 1024))))
+        # quantize to factor-4 tiers: each distinct budget costs one compile
+        cbud = max(1 << 18, 1 << (2 * int(np.ceil(np.log2(kneed + 1024) / 2))))
         cbud = min(cbud, p.expand_budget_cap)
         cands_d, ols_d, cand_total = scan_candidates(
             kres["kmer"], kres["off"], kres["span"], kvalid,
@@ -222,7 +223,8 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         own_ok = own[np.clip(np.searchsorted(own, probe), 0, len(own) - 1)] == probe
         cnt = np.where(valid_np.reshape(-1) & own_ok & ((hi - lo) <= 4096), hi - lo, 0)
         need = int(cnt.sum())
-        ebud = max(1 << 18, 1 << int(np.ceil(np.log2(need + 1024))))
+        # quantize to factor-4 tiers: each distinct budget costs one compile
+        ebud = max(1 << 18, 1 << (2 * int(np.ceil(np.log2(need + 1024) / 2))))
         ebud = min(ebud, p.expand_budget_cap)
         pbud = ebud  # filtered pairs can approach the expansion size
         pairs = extract_zmer_pairs(
