@@ -414,4 +414,56 @@ double dagcns_score(void* h) { return ((Dag*)h)->cns_score; }
 
 int dagcns_num_nodes(void* h) { return (int)((Dag*)h)->nodes.size(); }
 
+// SNV calling along the consensus path (reference dagcns.h:620-662):
+// at each consensus step, compare the consensus edge's support with the
+// best alternative single-node bridge to the node after next; report
+// positions where an alternative base has count >= min_cnt and
+// >= min_freq * consensus count.  Writes up to cap records of
+// (pos, cns_base, alt_base, cns_cnt, alt_cnt) into out5.
+int dagcns_call_snv(void* h, int min_cnt, float min_freq, int32_t* out5,
+                    int cap) {
+    Dag& g = *(Dag*)h;
+    if (g.cns.size() < 3) return 0;
+    int nrec = 0;
+    // walk consensus path: node ids along fw_edge chain from node 0
+    uint32_t n0 = 0;
+    int pos = 0;
+    while (g.nodes[n0].fw_edge != NIL && nrec < cap) {
+        pos++;
+        const Edge& e1 = g.edges[g.nodes[n0].fw_edge];
+        uint32_t n1 = e1.to;
+        if (g.nodes[n1].fw_edge == NIL) break;
+        uint32_t n2 = g.edges[g.nodes[n1].fw_edge].to;
+        uint32_t cns_cnt = std::min(e1.cov, g.edges[g.nodes[n1].fw_edge].cov);
+        uint32_t alt_cnt[4] = {0, 0, 0, 0};
+        Node& nd0 = g.nodes[n0];
+        for (uint32_t eid : nd0.outs) {
+            if (!g.edges[eid].alive) continue;
+            uint32_t mid = g.edges[eid].to;
+            if (mid == n1) continue;
+            uint32_t e2 = g.find_edge(mid, n2);
+            if (e2 == NIL) continue;
+            uint32_t c = std::min(g.edges[eid].cov, g.edges[e2].cov);
+            uint8_t b = g.nodes[mid].base;
+            if (c > alt_cnt[b]) alt_cnt[b] = c;
+        }
+        uint8_t cb = g.nodes[n1].base;
+        for (int b = 0; b < 4; b++) {
+            if (b == cb) continue;
+            if ((int)alt_cnt[b] >= min_cnt &&
+                alt_cnt[b] >= min_freq * std::max<uint32_t>(1, cns_cnt)) {
+                out5[nrec * 5 + 0] = pos;
+                out5[nrec * 5 + 1] = cb;
+                out5[nrec * 5 + 2] = b;
+                out5[nrec * 5 + 3] = (int32_t)cns_cnt;
+                out5[nrec * 5 + 4] = (int32_t)alt_cnt[b];
+                nrec++;
+                break;
+            }
+        }
+        n0 = n1;
+    }
+    return nrec;
+}
+
 }  // extern "C"

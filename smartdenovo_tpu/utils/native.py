@@ -54,6 +54,10 @@ class DagCns:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         lib.dagcns_score.restype = ctypes.c_double
         lib.dagcns_score.argtypes = [ctypes.c_void_p]
+        lib.dagcns_call_snv.restype = ctypes.c_int
+        lib.dagcns_call_snv.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         self._lib = lib
         self._h = lib.dagcns_new(ref_penalty, alt_penalty)
         self.backbone_size = 0
@@ -94,6 +98,16 @@ class DagCns:
         self._lib.dagcns_get_cns(self._h, self._u8ptr(out), len(out))
         score = self._lib.dagcns_score(self._h)
         return out[:n], (mp if with_map else None), score
+
+    def call_snv(self, min_cnt: int = 2, min_freq: float = 0.05, cap: int = 65536):
+        """SNV records along the consensus path (wtcns -V equivalent).
+
+        Returns array [n, 5]: pos, cns_base, alt_base, cns_cnt, alt_cnt."""
+        buf = np.zeros(cap * 5, np.int32)
+        n = self._lib.dagcns_call_snv(
+            self._h, min_cnt, min_freq,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        return buf[: n * 5].reshape(-1, 5).copy()
 
 
 class PoaCns:

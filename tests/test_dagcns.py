@@ -102,3 +102,22 @@ def test_noisy_reads_converge():
 
     assert ident(cns, truth) > 0.97, f"consensus identity {ident(cns, truth)}"
     assert ident(cns, truth) > ident(backbone, truth)
+
+
+def test_snv_calling():
+    """A 50/50 variant position should be reported by call_snv."""
+    g = DagCns()
+    bb = seq_to_codes("ACGTACGTACGT")
+    g.set_backbone(bb)
+    # half the reads carry a G->T substitution at index 6; polish splits
+    # the mismatch column into del+ins, creating the alt bridge node
+    for i in range(8):
+        if i % 2 == 0:
+            a0, a1 = _aln_from_strings("ACGTACGTACGT", "ACGTACGTACGT")
+        else:
+            a0, a1 = _aln_from_strings("ACGTACGTACGT", "ACGTACTTACGT")
+        g.add_alignment(0, 12, a0, a1)
+    g.merge_nodes()
+    cns, mp, score = g.consensus()
+    snvs = g.call_snv(min_cnt=2, min_freq=0.05)
+    assert len(snvs) >= 1, snvs
