@@ -94,3 +94,21 @@ def test_dif_variants(tmp_path, capsys):
     cap = capsys.readouterr()
     rows = [l.split("\t") for l in cap.out.strip().splitlines()]
     assert any(r[1] == "150" and r[2] == "S" for r in rows), rows
+
+
+def test_upgma_clusters():
+    from smartdenovo_tpu.utils.upgma import cut_clusters, upgma
+
+    # two tight clusters {0,1} and {2,3}, far apart
+    d = np.array([
+        [0.0, 0.1, 0.9, 0.9],
+        [0.1, 0.0, 0.9, 0.9],
+        [0.9, 0.9, 0.0, 0.1],
+        [0.9, 0.9, 0.1, 0.0],
+    ])
+    merges = upgma(d)
+    assert len(merges) == 3
+    labels = cut_clusters(merges, 4, height=0.5)
+    assert labels[0] == labels[1]
+    assert labels[2] == labels[3]
+    assert labels[0] != labels[2]
