@@ -104,6 +104,18 @@ def extract_zmer_pairs(
 
     Q, L = qz.shape
     A = cands_sorted.shape[1]
+    R = read_lens.shape[0]
+    # dense (q, read) -> slot+1 lookup: one gather per expanded posting
+    # instead of an 11-step binary search (TPU random gathers are the
+    # slowest primitive; a [Q, R] int32 table is small)
+    qq = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[:, None], cands_sorted.shape)
+    col = jnp.where((cands_sorted >= 0) & (cands_sorted < R), cands_sorted, R)
+    slot_tab = (
+        jnp.zeros((Q, R + 1), jnp.int32)
+        .at[qq, col]
+        .set(jnp.broadcast_to(jnp.arange(1, A + 1, dtype=jnp.int32)[None, :],
+                              cands_sorted.shape), mode="drop")[:, :R]
+    )
     BIGP = jnp.int32(Q * A * 2)
     flat_z = qz.reshape(-1)
     flat_valid = qvalid.reshape(-1)
@@ -125,7 +137,9 @@ def extract_zmer_pairs(
     pidx = jnp.clip(start[src_c] + within, 0, post_rd.shape[0] - 1)
     q_local = q_of[src_c]
     c_rd = post_rd[pidx]
-    slot, found = _search_rows_pos(cands_sorted, q_local, c_rd)
+    slot1 = slot_tab[q_local, jnp.clip(c_rd, 0, R - 1)]
+    found = slot1 > 0
+    slot = slot1 - 1
     len_ok = jnp.abs(qspan.reshape(-1)[src_c] - post_span[pidx]) <= kvar
     keep = alive & found & len_ok
     pairdir = (qdir.reshape(-1)[src_c] ^ (post_dir[pidx] != 0)).astype(jnp.int32)
@@ -134,10 +148,6 @@ def extract_zmer_pairs(
         pairdir == 1, clen - (post_off[pidx] + post_span[pidx]), post_off[pidx]
     )
     pair_id = jnp.where(keep, (q_local * A + slot) * 2 + pairdir, BIGP)
-    match_cnt = jax.ops.segment_sum(
-        keep.astype(jnp.int32), jnp.where(keep, pair_id, Q * A * 2),
-        num_segments=Q * A * 2 + 1,
-    )[: Q * A * 2]
     # compact kept pairs into [pair_budget]
     dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
     total = dst[-1] + 1
@@ -154,7 +164,7 @@ def extract_zmer_pairs(
         off2=scat(o2, 0),
         len1=scat(qspan.reshape(-1)[src_c], 0),
         len2=scat(post_span[pidx], 0),
-        match_cnt=match_cnt,
+        match_cnt=jnp.zeros(Q * A * 2, jnp.int32),  # filled by dot_matrix_align
         total=total,
         expand_total=total_exp,
     )
@@ -166,6 +176,7 @@ def extract_zmer_pairs(
 
 
 class DotMatrixResult(NamedTuple):
+    match_cnt: jnp.ndarray  # [Q*A*2] int32 seed matches per pair id
     pair_id: jnp.ndarray  # [NP] int32 (BIGP pad)
     score: jnp.ndarray    # [NP] int32 chained coverage weight
     tb: jnp.ndarray       # [NP] int32 query begin
@@ -217,6 +228,20 @@ def dot_matrix_align(
     )
     live = k1 < BIGP
     pair_new = jnp.concatenate([jnp.ones(1, bool), k1[1:] != k1[:-1]])
+    # per-pair seed-match counts via cumsum at sorted-run boundaries
+    ones_c = jnp.cumsum(live.astype(jnp.int32))
+    run_start_c = jnp.where(pair_new & live, ones_c - 1, 0)
+    seg_idx = jnp.cumsum(pair_new.astype(jnp.int32)) - 1
+    starts_per_seg = jnp.zeros(PB + 1, jnp.int32).at[
+        jnp.where(pair_new & live, seg_idx, PB)
+    ].set(run_start_c, mode="drop")
+    seg_last = jnp.concatenate([pair_new[1:], jnp.ones(1, bool)])
+    seg_cnt = jnp.where(seg_last & live, ones_c - starts_per_seg[seg_idx], 0)
+    match_cnt = (
+        jnp.zeros(int(BIGP) + 1, jnp.int32)
+        .at[jnp.where(seg_last & live, k1, BIGP)]
+        .set(seg_cnt, mode="drop")[: int(BIGP)]
+    )
     grp_new = pair_new | jnp.concatenate([jnp.ones(1, bool), (k2[1:] - k2[:-1]) > yvar])
     grp_id = jnp.cumsum(grp_new.astype(jnp.int32)) - 1
     # re-sort within diagonal groups by off1
@@ -396,6 +421,7 @@ def dot_matrix_align(
     qb_ = jnp.min(jnp.where(mark, D_b1, INT32_MAX), axis=1)
     qe_ = jnp.max(jnp.where(mark, D_e1, 0), axis=1)
     return DotMatrixResult(
+        match_cnt=match_cnt,
         pair_id=D_pid, score=score, tb=tb_, te=te_, qb=qb_, qe=qe_,
         blk_b0=D_b0, blk_e0=D_e0, blk_b1=D_b1, blk_e1=D_e1, blk_on=mark,
     )

@@ -30,6 +30,33 @@ from ..utils.log import log
 
 INT32_MAX = np.int32(0x7FFFFFFF)
 
+import os as _os
+import time as _time
+
+_PROF = _os.environ.get("SDTPU_PROF", "") == "1"
+_prof_acc: dict = {}
+
+
+def _prof(name, value=None):
+    """Accumulate phase wall-times when SDTPU_PROF=1 (forces syncs)."""
+    if not _PROF:
+        return
+    import jax
+
+    if value is not None:
+        jax.block_until_ready(value)
+    now = _time.perf_counter()
+    last = _prof_acc.get("_last")
+    if name != "_start" and last is not None:
+        _prof_acc[name] = _prof_acc.get(name, 0.0) + (now - last)
+    _prof_acc["_last"] = now
+
+
+def prof_report():
+    for k, v in sorted(_prof_acc.items()):
+        if not k.startswith("_"):
+            log("PROF %-14s %8.2fs", k, v)
+
 
 def _pad_tier(n: int, tiers=(2048, 4096, 8192, 16384, 32768, 65536)) -> int:
     """Pad lengths to a few fixed tiers so device kernels compile once."""
@@ -184,8 +211,10 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             sup[i, : len(s)] = s
             sup_cnt[i] = len(s)
         sup_cnt[len(real):] = 0
+        _prof("_start")
         kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
         kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
+        _prof("seeds16", kvalid)
         # exact host-side candidate-expansion sizing
         kcodes, kval = np_canonical_kmers(batch, lens, p.ksize, p.hz)
         k32 = kcodes.astype(np.uint32).reshape(-1)
@@ -199,6 +228,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         # quantize to factor-4 tiers: each distinct budget costs one compile
         cbud = max(1 << 18, 1 << (2 * int(np.ceil(np.log2(kneed + 1024) / 2))))
         cbud = min(cbud, p.expand_budget_cap)
+        _prof("host_size_k")
         cands_d, ols_d, cand_total = scan_candidates(
             kres["kmer"], kres["off"], kres["span"], kvalid,
             jnp.asarray(rids, jnp.int32), jnp.asarray(lens), jnp.asarray(qskip),
@@ -206,11 +236,13 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             jnp.asarray(sup), jnp.asarray(sup_cnt),
             budget=cbud, ncand=A, kovl=p.kovl, len_ratio=p.len_ratio,
         )
+        _prof("cands", cands_d)
         # candidate table sorted by id, on device (no host sync)
         csorted_d = jnp.sort(
             jnp.where(cands_d < 0, INT32_MAX, cands_d), axis=1
         ).astype(jnp.int32)
         zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
+        _prof("seeds10", zres["kmer"])
         # exact host-side expansion sizing (numpy twin of the zmer scan):
         # silent truncation here cost 1/3 of true overlaps before this check
         codes, valid_np = np_canonical_kmers(batch, lens, p.zsize, p.hz)
@@ -226,7 +258,8 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         # quantize to factor-4 tiers: each distinct budget costs one compile
         ebud = max(1 << 18, 1 << (2 * int(np.ceil(np.log2(need + 1024) / 2))))
         ebud = min(ebud, p.expand_budget_cap)
-        pbud = ebud  # filtered pairs can approach the expansion size
+        pbud = max(1 << 18, ebud // 2)  # few datasets filter less than half
+        _prof("host_size_z")
         pairs = extract_zmer_pairs(
             zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
             jnp.asarray(rids, jnp.int32), csorted_d,
@@ -234,6 +267,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             read_lens,
             expand_budget=ebud, pair_budget=pbud, kvar=p.kvar,
         )
+        _prof("zpairs", pairs.pair_id)
         clen_of_pair = jnp.repeat(
             jnp.where(csorted_d < n, read_lens[jnp.clip(csorted_d, 0, n - 1)], 0)
             .astype(jnp.int32).reshape(-1), 2
@@ -246,9 +280,11 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             max_overhang=p.max_overhang,
             deviation_penalty=p.deviation_penalty, gap_penalty=p.gap_penalty,
         )
+        _prof("dotmx", res.score)
         out = dict(rids=rids, lens=lens, cands=cands_d, csorted=csorted_d,
-                   match_cnt=pairs.match_cnt, total=pairs.total,
-                   cand_total=cand_total, res=res)
+                   match_cnt=res.match_cnt, total=pairs.total,
+                   expand_total=pairs.expand_total, ebud=ebud, pbud=pbud,
+                   cbud=cbud, cand_total=cand_total, res=res)
         if p.engine == "sw":
             out["sw"] = sw_align_batch(
                 res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
@@ -272,6 +308,8 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
                       emitted_pairs, A, rdmask, attempted_out)
     log("overlap done: %d overlaps", len(overlaps))
+    if _PROF:
+        prof_report()
     return overlaps
 
 
