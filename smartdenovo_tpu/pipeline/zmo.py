@@ -337,74 +337,76 @@ def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A,
 
 def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
                 attempted_by, overlaps, A, emitted_pairs=None, attempted_out=None):
-    """Host-side combine: dir choice, ztot gate, ledger, dedup, filters."""
+    """Host-side combine (vectorised): dir choice, ztot gate, ledger, dedup."""
     if emitted_pairs is None:
         emitted_pairs = set()
     n = len(rb)
     q = len(rids)
-    # map dense result rows back to (q, slot, dir)
-    by_pair: dict[int, int] = {}
+    NP2 = q * A * 2
     pair_ids = np.asarray(res.pair_id)
-    for row, pid in enumerate(pair_ids):
-        if pid < q * A * 2:
-            by_pair[int(pid)] = row
+    rowmap = np.full(NP2 + 1, -1, np.int64)
+    livep = pair_ids < NP2
+    rowmap[pair_ids[livep]] = np.nonzero(livep)[0]
     score_a = np.asarray(res.score)
     tb_a, te_a, qb_a, qe_a = (np.asarray(x) for x in (res.tb, res.te, res.qb, res.qe))
-    attempted_now: set[tuple[int, int]] = set()
-    batch_hits = []
-    for qi in range(q):
+    # per (q, slot): matches, best dir, row
+    mc2 = match_cnt.reshape(q, A, 2)
+    mc = mc2.sum(axis=2)
+    live_slot = (csorted < n)
+    attempted_mask = live_slot & (mc * p.zsize >= p.ztot)
+    pid0 = (np.arange(q)[:, None] * A + np.arange(A)[None, :]) * 2
+    r0 = rowmap[np.minimum(pid0, NP2)]
+    r1 = rowmap[np.minimum(pid0 + 1, NP2)]
+    w0 = np.where(r0 >= 0, score_a[np.clip(r0, 0, len(score_a) - 1)], 0)
+    w1 = np.where(r1 >= 0, score_a[np.clip(r1, 0, len(score_a) - 1)], 0)
+    d_best = (w0 < w1).astype(np.int64)
+    r_best = np.where(d_best == 1, r1, r0)
+    w_best = np.where(d_best == 1, w1, w0)
+    has_row = r_best >= 0
+    rb_c = np.clip(r_best, 0, max(0, len(score_a) - 1))
+    tb = tb_a[rb_c]
+    te = te_a[rb_c]
+    qb = qb_a[rb_c]
+    qe = qe_a[rb_c]
+    ol = np.maximum(te - tb, qe - qb)
+    ok = (
+        attempted_mask & has_row & (ol > 0)
+        & (w_best >= p.min_score)
+        & (w_best >= (p.min_id * ol).astype(np.int64))
+    )
+    qrid_of = rids[:, None] * np.ones((1, A), np.int64)
+    attempted_now = set(
+        zip(qrid_of[attempted_mask].astype(int).tolist(),
+            csorted[attempted_mask].astype(int).tolist())
+    )
+    # iterate accepted hits in (query, chain-score desc) order like the
+    # reference candidate processing order
+    qs, ss = np.nonzero(ok)
+    order = np.lexsort((-w_best[qs, ss], qs))
+    for t in order:
+        qi, slot = int(qs[t]), int(ss[t])
         qrid = int(rids[qi])
-        qlen = int(lens[qi])
-        row = cands[qi]
-        slots = np.searchsorted(csorted[qi], row)
-        # iterate candidates in selection (ol-desc) order like the reference
-        for ci in np.nonzero(row >= 0)[0]:
-            cand = int(row[ci])
-            slot = int(slots[ci])
-            pid0 = (qi * A + slot) * 2
-            mc = int(match_cnt[pid0]) + int(match_cnt[pid0 + 1])
-            if mc * p.zsize < p.ztot:
-                continue  # not attempted; other side may retry (wtzmo.c:855)
-            attempted_now.add((qrid, cand))
-            w = [0, 0]
-            rows = [None, None]
-            for d in (0, 1):
-                r = by_pair.get(pid0 + d)
-                if r is not None:
-                    w[d] = int(score_a[r])
-                    rows[d] = r
-            d = 1 if w[0] < w[1] else 0
-            if rows[d] is None:
-                continue
-            r = rows[d]
-            score = w[d]
-            tb, te, qb, qe = int(tb_a[r]), int(te_a[r]), int(qb_a[r]), int(qe_a[r])
-            ol = max(te - tb, qe - qb)
-            if ol <= 0:
-                continue
-            if score < p.min_score or score < int(p.min_id * ol):
-                continue
-            batch_hits.append((qrid, qlen, cand, d, tb, te, qb, qe, score, ol))
-    # dedup: a pair attempted from both sides keeps the earlier (smaller
-    # sorted id) query's attempt, mirroring the serial ledger; the global
-    # emitted set also catches cross-batch duplicates (ledger lags a batch)
-    for hit in batch_hits:
-        qrid, qlen, cand, d, tb, te, qb, qe, score, ol = hit
+        cand = int(csorted[qi, slot])
+        if cand == qrid:
+            continue
         if (cand, qrid) in attempted_now and cand < qrid:
             continue
         key = (min(qrid, cand), max(qrid, cand))
         if key in emitted_pairs:
             continue
         emitted_pairs.add(key)
+        qlen = int(lens[qi])
         clen = int(rb.lengths[cand])
-        ov = Overlap(
-            rid1=qrid, dir1=0, beg1=tb, end1=te,
-            rid2=cand, dir2=d, beg2=qb, end2=qe,
-            score=score, identity=score / ol, mat=score, mis=0, ins=0, dl=0, aln=ol,
-        )
-        overlaps.append(ov)
-        x1 = min(tb, qb)
-        x2 = min(qlen - te, clen - qe)
+        sc = int(w_best[qi, slot])
+        o = int(ol[qi, slot])
+        overlaps.append(Overlap(
+            rid1=qrid, dir1=0, beg1=int(tb[qi, slot]), end1=int(te[qi, slot]),
+            rid2=cand, dir2=int(d_best[qi, slot]),
+            beg2=int(qb[qi, slot]), end2=int(qe[qi, slot]),
+            score=sc, identity=sc / o, mat=sc, mis=0, ins=0, dl=0, aln=o,
+        ))
+        x1 = min(int(tb[qi, slot]), int(qb[qi, slot]))
+        x2 = min(qlen - int(te[qi, slot]), clen - int(qe[qi, slot]))
         if x1 + x2 <= p.max_unalign_dovetail:
             rdcovs[qrid] += 1
             rdcovs[cand] += 1
@@ -413,14 +415,6 @@ def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
         attempted_by[cand].append(qrid)
         if attempted_out is not None:
             attempted_out.append((rb.names[qrid], rb.names[cand]))
-
-
-def write_overlaps(path: str, rb: ReadBank, overlaps) -> None:
-    lengths = rb.lengths
-    with open(path, "w") as fh:
-        for ov in overlaps:
-            fh.write(ov.to_tsv(rb.names, lengths))
-            fh.write("\n")
 
 
 def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdmask,
