@@ -504,3 +504,11 @@ def write_pair_ledger(path, pairs):
     with open(path, "w") as fh:
         for a, b in pairs:
             fh.write(f"{a}\t{b}\n")
+
+
+def write_overlaps(path: str, rb: ReadBank, overlaps) -> None:
+    lengths = rb.lengths
+    with open(path, "w") as fh:
+        for ov in overlaps:
+            fh.write(ov.to_tsv(rb.names, lengths))
+            fh.write("\n")
