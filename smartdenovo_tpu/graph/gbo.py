@@ -159,7 +159,7 @@ def align_pairs_sw(rb: ReadBank, zidx, pair_map: dict[int, list[tuple[int, int]]
         pairs = extract_zmer_pairs(
             zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
             jnp.asarray(rids, jnp.int32), jnp.asarray(cands),
-            zidx.zmers, zidx.post_rd, zidx.post_dir, zidx.post_off, zidx.post_span,
+            zidx.zmers, zidx.post_rd, zidx.post_packed,
             read_lens,
             expand_budget=p.expand_budget, pair_budget=p.pair_budget, kvar=p.kvar,
         )

@@ -92,14 +92,15 @@ def extract_zmer_pairs(
     qvalid: jnp.ndarray, # [Q, L] bool
     qrids: jnp.ndarray,  # [Q] int32
     cands_sorted: jnp.ndarray,  # [Q, A] int32 candidate ids sorted asc (pad INT32_MAX)
-    zmers: jnp.ndarray, post_rd: jnp.ndarray, post_dir: jnp.ndarray,
-    post_off: jnp.ndarray, post_span: jnp.ndarray,
+    zmers: jnp.ndarray, post_rd: jnp.ndarray, post_packed: jnp.ndarray,
     read_lens: jnp.ndarray,  # [R] int32
     *,
     expand_budget: int,
     pair_budget: int,
     kvar: int = 2,
 ) -> PairBatch:
+    """post_packed packs (off<<9 | span<<1 | dir) so the expansion needs two
+    random posting gathers (rd + packed) instead of four."""
     from .flatops import bounded_bisect, expand_ranges
 
     Q, L = qz.shape
@@ -127,7 +128,9 @@ def extract_zmer_pairs(
     zmax_global = 4096
     rng_ok = (end - start) <= zmax_global
     # own-read membership (the per-read zmer cap kept this (read, zmer)
-    # group): bisect the read id inside the zmer's posting range
+    # group): bisect the read id inside the zmer's posting range.  This
+    # runs on the [Q*Z] query-zmer axis (~100K), not the expanded axis,
+    # so it is cheap; it keeps query/index cap symmetry (wtzmo.c:433).
     own_lb = bounded_bisect(post_rd, qrids[q_of], start, end, 13)
     own_ok = (own_lb < end) & (
         post_rd[jnp.clip(own_lb, 0, post_rd.shape[0] - 1)] == qrids[q_of]
@@ -140,13 +143,15 @@ def extract_zmer_pairs(
     slot1 = slot_tab[q_local, jnp.clip(c_rd, 0, R - 1)]
     found = slot1 > 0
     slot = slot1 - 1
-    len_ok = jnp.abs(qspan.reshape(-1)[src_c] - post_span[pidx]) <= kvar
+    packed = post_packed[pidx]
+    p_off = packed >> 9
+    p_span = (packed >> 1) & 0xFF
+    p_dir = packed & 1
+    len_ok = jnp.abs(qspan.reshape(-1)[src_c] - p_span) <= kvar
     keep = alive & found & len_ok
-    pairdir = (qdir.reshape(-1)[src_c] ^ (post_dir[pidx] != 0)).astype(jnp.int32)
+    pairdir = (qdir.reshape(-1)[src_c] ^ p_dir).astype(jnp.int32)
     clen = read_lens[jnp.clip(c_rd, 0, read_lens.shape[0] - 1)]
-    o2 = jnp.where(
-        pairdir == 1, clen - (post_off[pidx] + post_span[pidx]), post_off[pidx]
-    )
+    o2 = jnp.where(pairdir == 1, clen - (p_off + p_span), p_off)
     pair_id = jnp.where(keep, (q_local * A + slot) * 2 + pairdir, BIGP)
     # compact kept pairs into [pair_budget]
     dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -163,7 +168,7 @@ def extract_zmer_pairs(
         off1=scat(qoff.reshape(-1)[src_c], 0),
         off2=scat(o2, 0),
         len1=scat(qspan.reshape(-1)[src_c], 0),
-        len2=scat(post_span[pidx], 0),
+        len2=scat(p_span, 0),
         match_cnt=jnp.zeros(Q * A * 2, jnp.int32),  # filled by dot_matrix_align
         total=total,
         expand_total=total_exp,

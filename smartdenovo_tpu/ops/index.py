@@ -148,8 +148,9 @@ class ZmerIndex:
     post_dir: jnp.ndarray  # [P] int8
     post_off: jnp.ndarray  # [P] int32 raw offset in read
     post_span: jnp.ndarray  # [P] int32 raw covered length
-    zsize: int
-    max_per_read: int
+    post_packed: jnp.ndarray = None  # [P] int32 = off<<9 | min(span,255)<<1 | dir
+    zsize: int = 10
+    max_per_read: int = 16
     np_zmers: "np.ndarray" = None     # host copy for budget sizing
     np_key: "np.ndarray" = None       # host packed (zmer<<32)|rd
 
@@ -203,12 +204,18 @@ def build_zmer_index(
         zmers, post_rd, post_dir, post_off, post_span = (
             zmers[keep], post_rd[keep], post_dir[keep], post_off[keep], post_span[keep]
         )
+    packed = (
+        (post_off.astype(np.int64) << 9)
+        | (np.minimum(post_span, 255).astype(np.int64) << 1)
+        | post_dir.astype(np.int64)
+    ).astype(np.int32)
     return ZmerIndex(
         zmers=jnp.asarray(zmers),
         post_rd=jnp.asarray(post_rd),
         post_dir=jnp.asarray(post_dir),
         post_off=jnp.asarray(post_off),
         post_span=jnp.asarray(post_span),
+        post_packed=jnp.asarray(packed),
         zsize=zsize,
         max_per_read=max_per_read,
         np_zmers=zmers,

@@ -189,6 +189,11 @@ def _anchor_reads(reads, windows, p: CnsParams):
     zmers, post_rd, post_dir, post_off, post_span = (
         zmers[order], post_rd[order], post_dir[order], post_off[order], post_span[order]
     )
+    post_packed = (
+        (post_off.astype(np.int64) << 9)
+        | (np.minimum(post_span, 255).astype(np.int64) << 1)
+        | post_dir.astype(np.int64)
+    ).astype(np.int32)
     read_lens = np.zeros(2 * B, np.int32)
     read_lens[:B] = wbank.lengths
     read_lens[B:] = rbank.lengths
@@ -199,8 +204,7 @@ def _anchor_reads(reads, windows, p: CnsParams):
     pairs = extract_zmer_pairs(
         zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
         jnp.asarray(qrids), jnp.asarray(cands),
-        jnp.asarray(zmers), jnp.asarray(post_rd), jnp.asarray(post_dir),
-        jnp.asarray(post_off), jnp.asarray(post_span),
+        jnp.asarray(zmers), jnp.asarray(post_rd), jnp.asarray(post_packed),
         jnp.asarray(read_lens),
         expand_budget=expand_budget, pair_budget=pair_budget, kvar=p.kvar,
     )

@@ -199,6 +199,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         real = np.arange(b0, min(n, b0 + Q))
         rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
         batch, lens = rb.batch(rids, pad_to=Ltier)
+        _prof("host_batch")
         nbest_of = np.maximum(p.nbest, p.nbest * lens.astype(np.int64) // max(1, avg_len))
         qskip = (rdcovs[rids] >= nbest_of) | rdmask[rids]
         qskip[len(real):] = True
@@ -263,7 +264,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         pairs = extract_zmer_pairs(
             zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
             jnp.asarray(rids, jnp.int32), csorted_d,
-            zidx.zmers, zidx.post_rd, zidx.post_dir, zidx.post_off, zidx.post_span,
+            zidx.zmers, zidx.post_rd, zidx.post_packed,
             read_lens,
             expand_budget=ebud, pair_budget=pbud, kvar=p.kvar,
         )
@@ -297,10 +298,13 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
 
     pending = None
     for b0 in range(0, n, Q):
+        _prof("_start")
         nxt = dispatch(b0)
+        _prof("_start")
         if pending is not None:
             _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
                           emitted_pairs, A, rdmask, attempted_out)
+        _prof("finish")
         pending = nxt
         if progress and (b0 // Q) % 8 == 0:
             log("overlapped %d/%d reads, %d overlaps", min(n, b0 + Q), n, len(overlaps))
