@@ -99,23 +99,40 @@ def extract_zmer_pairs(
     pair_budget: int,
     kvar: int = 2,
 ) -> PairBatch:
-    """post_packed packs (off<<9 | span<<1 | dir) so the expansion needs two
-    random posting gathers (rd + packed) instead of four."""
-    from .flatops import bounded_bisect, expand_ranges
+    """Budgeted z-mer match extraction, structured to minimise random HBM
+    gathers (the dominant cost on TPU: the expansion touches every posting
+    ~freq times).  Two-phase layout:
+
+      phase 1 (width = expand_budget): 3 gathers per expanded element —
+        a packed int64 (range start in the posting array | output range
+        start), the posting's read id, and a per-(query, read) slot table
+        that folds the candidate membership test AND the candidate read
+        length into one int32.  Non-candidate hits (the vast majority at
+        scale) die here, before any field gathers.
+      phase 2 (width = pair_budget): survivors only — 2 gathers (packed
+        query fields, packed posting fields) compute coordinates and the
+        kvar span filter.
+
+    Replaces the reference's per-pair zmer heap merge (hzm_aln.h:173)."""
+    from .flatops import bounded_bisect
 
     Q, L = qz.shape
     A = cands_sorted.shape[1]
+    assert A <= 511, "slot packing uses 9 bits; keep dm_cand <= 511"
     R = read_lens.shape[0]
-    # dense (q, read) -> slot+1 lookup: one gather per expanded posting
-    # instead of an 11-step binary search (TPU random gathers are the
-    # slowest primitive; a [Q, R] int32 table is small)
+    P = post_rd.shape[0]
+    # dense (q, read) -> (clen<<9 | slot+1) lookup: one gather answers both
+    # "is this read a candidate of q" and "how long is it"
     qq = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[:, None], cands_sorted.shape)
     col = jnp.where((cands_sorted >= 0) & (cands_sorted < R), cands_sorted, R)
-    slot_tab = (
+    clen_cand = read_lens[jnp.clip(col, 0, R - 1)].astype(jnp.int32)
+    slot_val = (clen_cand << 9) | jnp.broadcast_to(
+        jnp.arange(1, A + 1, dtype=jnp.int32)[None, :], cands_sorted.shape
+    )
+    slot_ctab = (
         jnp.zeros((Q, R + 1), jnp.int32)
         .at[qq, col]
-        .set(jnp.broadcast_to(jnp.arange(1, A + 1, dtype=jnp.int32)[None, :],
-                              cands_sorted.shape), mode="drop")[:, :R]
+        .set(slot_val, mode="drop")[:, :R]
     )
     BIGP = jnp.int32(Q * A * 2)
     flat_z = qz.reshape(-1)
@@ -136,24 +153,39 @@ def extract_zmer_pairs(
         post_rd[jnp.clip(own_lb, 0, post_rd.shape[0] - 1)] == qrids[q_of]
     )
     cnt = jnp.where(flat_valid & own_ok & rng_ok, end - start, 0)
-    src_c, within, alive, total_exp = expand_ranges(cnt, expand_budget)
-    pidx = jnp.clip(start[src_c] + within, 0, post_rd.shape[0] - 1)
-    q_local = q_of[src_c]
-    c_rd = post_rd[pidx]
-    slot1 = slot_tab[q_local, jnp.clip(c_rd, 0, R - 1)]
-    found = slot1 > 0
-    slot = slot1 - 1
-    packed = post_packed[pidx]
-    p_off = packed >> 9
-    p_span = (packed >> 1) & 0xFF
-    p_dir = packed & 1
-    len_ok = jnp.abs(qspan.reshape(-1)[src_c] - p_span) <= kvar
-    keep = alive & found & len_ok
-    pairdir = (qdir.reshape(-1)[src_c] ^ p_dir).astype(jnp.int32)
-    clen = read_lens[jnp.clip(c_rd, 0, read_lens.shape[0] - 1)]
-    o2 = jnp.where(pairdir == 1, clen - (p_off + p_span), p_off)
-    pair_id = jnp.where(keep, (q_local * A + slot) * 2 + pairdir, BIGP)
-    # compact kept pairs into [pair_budget]
+    # packed query fields: off<<9 | min(span,255)<<1 | dir (elementwise, free)
+    qpk = (
+        (qoff.reshape(-1).astype(jnp.int32) << 9)
+        | (jnp.minimum(qspan.reshape(-1), 255).astype(jnp.int32) << 1)
+        | qdir.reshape(-1).astype(jnp.int32)
+    )
+
+    # ---- phase 1: inlined expand_ranges with a packed (out_start | post_
+    # start) fill value so range mapping costs ONE int64 gather
+    cum = jnp.cumsum(cnt)
+    total_exp = cum[-1]
+    ostarts = cum - cnt  # output range start per query zmer
+    nsrc = cnt.shape[0]
+    idx = jnp.where(cnt > 0, jnp.clip(ostarts, 0, expand_budget), expand_budget)
+    mark = (
+        jnp.zeros(expand_budget + 1, jnp.int32)
+        .at[idx]
+        .max(jnp.arange(1, nsrc + 1, dtype=jnp.int32), mode="drop")[:expand_budget]
+    )
+    src = jax.lax.cummax(mark) - 1
+    src_c = jnp.clip(src, 0, nsrc - 1)
+    # one 2-wide gather maps each slot to (output range start, posting
+    # range start); x64 is off so a packed int64 would truncate
+    rtab = jnp.stack([ostarts, start], axis=1)        # [nsrc, 2] int32
+    g = rtab[src_c]                                   # gather 1
+    p = jnp.arange(expand_budget, dtype=jnp.int32)
+    within = p - g[:, 0]
+    pidx = jnp.clip(g[:, 1] + within, 0, P - 1)
+    alive = (p < total_exp) & (src >= 0)
+    c_rd = post_rd[pidx]                              # gather 2
+    sv = slot_ctab[src_c // L, jnp.clip(c_rd, 0, R - 1)]  # gather 3
+    keep = alive & ((sv & 0x1FF) > 0)
+    # compact slot-filter survivors into [pair_budget]
     dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
     total = dst[-1] + 1
     dst = jnp.where(keep & (dst < pair_budget), dst, pair_budget)
@@ -163,12 +195,29 @@ def extract_zmer_pairs(
             .at[dst]
             .set(vals.astype(jnp.int32), mode="drop")[:pair_budget]
         )
+    src2 = scat(src_c, 0)
+    pidx2 = scat(pidx, 0)
+    sv2 = scat(sv, 0)
+    live2 = scat(jnp.ones_like(src_c), 0) > 0
+
+    # ---- phase 2: field gathers on survivors only
+    qg = qpk[src2]                                    # gather 4 (pbud wide)
+    ppk = post_packed[pidx2]                          # gather 5 (pbud wide)
+    q_span = (qg >> 1) & 0xFF
+    p_off = ppk >> 9
+    p_span = (ppk >> 1) & 0xFF
+    len_ok = live2 & (jnp.abs(q_span - p_span) <= kvar)
+    pairdir = (qg ^ ppk) & 1
+    clen = sv2 >> 9
+    slot = (sv2 & 0x1FF) - 1
+    o2 = jnp.where(pairdir == 1, clen - (p_off + p_span), p_off)
+    pair_id = jnp.where(len_ok, ((src2 // L) * A + slot) * 2 + pairdir, BIGP)
     return PairBatch(
-        pair_id=scat(pair_id, int(Q * A * 2)),
-        off1=scat(qoff.reshape(-1)[src_c], 0),
-        off2=scat(o2, 0),
-        len1=scat(qspan.reshape(-1)[src_c], 0),
-        len2=scat(p_span, 0),
+        pair_id=pair_id,
+        off1=qg >> 9,
+        off2=o2,
+        len1=q_span,
+        len2=p_span,
         match_cnt=jnp.zeros(Q * A * 2, jnp.int32),  # filled by dot_matrix_align
         total=total,
         expand_total=total_exp,

@@ -40,11 +40,20 @@ def load_indexes(path: str):
         max_freq=int(d["k_meta"][0]), ksize=int(d["k_meta"][1]),
         n_reads=int(d["k_meta"][2]),
     )
+    z_packed = (
+        (d["z_off"].astype(np.int64) << 9)
+        | (np.minimum(d["z_span"], 255).astype(np.int64) << 1)
+        | d["z_dir"].astype(np.int64)
+    ).astype(np.int32)
     zidx = ZmerIndex(
         zmers=jnp.asarray(d["z_zmers"]), post_rd=jnp.asarray(d["z_rd"]),
         post_dir=jnp.asarray(d["z_dir"]), post_off=jnp.asarray(d["z_off"]),
         post_span=jnp.asarray(d["z_span"]),
+        post_packed=jnp.asarray(z_packed),
         zsize=int(d["z_meta"][0]), max_per_read=int(d["z_meta"][1]),
+        np_zmers=np.asarray(d["z_zmers"]),
+        np_key=(d["z_zmers"].astype(np.uint64) << np.uint64(32))
+        | d["z_rd"].astype(np.uint64),
     )
     return kidx, zidx
 

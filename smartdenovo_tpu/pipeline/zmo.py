@@ -79,6 +79,12 @@ class ZmoParams:
     kovl: int = 300           # -d min kmer covered len for a candidate
     ztot: int = 300           # -r min total zmer seeding region
     ncand: int = 500          # -A (dmo: 1000)
+    # dot-matrix candidate width: only the top dm_cand candidates (by k16
+    # union length) per query go through zmer extraction + dot-matrix.
+    # Measured on the bench set every true pair ranks < 48 on at least one
+    # side, so 128 keeps exact recall while cutting pair mass ~4x; raise
+    # for very deep coverage (true overlaps/read ~ 2x coverage).
+    dm_cand: int = 128
     nbest: int = 100          # -B
     min_score: int = 200      # -s
     min_id: float = 0.5       # -m (dmo: 0.1)
@@ -190,12 +196,17 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     overlaps: list[Overlap] = []
     emitted_pairs: set[tuple[int, int]] = set()
     A = p.ncand
+    Adm = min(p.dm_cand, A)
     Q = p.batch_q
+    # pair-budget sizing: survivors of the candidate slot filter as a
+    # fraction of the expansion; self-tunes from completed batches, with an
+    # overflow redispatch as the safety net (silent truncation loses pairs)
+    pair_ratio = [0.5]
     # one length tier for the whole run: reads are length-sorted desc, so
     # rb.lengths[0] is the maximum — a single compile per kernel
     Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
 
-    def dispatch(b0):
+    def dispatch(b0, pbud_override=None):
         real = np.arange(b0, min(n, b0 + Q))
         rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
         batch, lens = rb.batch(rids, pad_to=Ltier)
@@ -238,9 +249,11 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             budget=cbud, ncand=A, kovl=p.kovl, len_ratio=p.len_ratio,
         )
         _prof("cands", cands_d)
+        # only the top dm_cand ol-ranked candidates reach the dot-matrix;
         # candidate table sorted by id, on device (no host sync)
+        cands_dm = cands_d[:, :Adm]
         csorted_d = jnp.sort(
-            jnp.where(cands_d < 0, INT32_MAX, cands_d), axis=1
+            jnp.where(cands_dm < 0, INT32_MAX, cands_dm), axis=1
         ).astype(jnp.int32)
         zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
         _prof("seeds10", zres["kmer"])
@@ -259,7 +272,14 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         # quantize to factor-4 tiers: each distinct budget costs one compile
         ebud = max(1 << 18, 1 << (2 * int(np.ceil(np.log2(need + 1024) / 2))))
         ebud = min(ebud, p.expand_budget_cap)
-        pbud = max(1 << 18, ebud // 2)  # few datasets filter less than half
+        if pbud_override is not None:
+            pbud = pbud_override
+        else:
+            # factor-2 tiers: pair sorts dominate dot-matrix cost, so the
+            # tighter quantization pays for the extra compiles
+            pneed = int(need * min(1.0, max(pair_ratio) * 1.25)) + 1024
+            pbud = max(1 << 18, 1 << int(np.ceil(np.log2(pneed))))
+            pbud = min(pbud, ebud)
         _prof("host_size_z")
         pairs = extract_zmer_pairs(
             zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
@@ -273,28 +293,45 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             jnp.where(csorted_d < n, read_lens[jnp.clip(csorted_d, 0, n - 1)], 0)
             .astype(jnp.int32).reshape(-1), 2
         )
-        qlen_of_pair = jnp.repeat(jnp.asarray(lens.astype(np.int32)), A * 2)
+        qlen_of_pair = jnp.repeat(jnp.asarray(lens.astype(np.int32)), Adm * 2)
         res = dot_matrix_align(
             pairs, qlen_of_pair, clen_of_pair,
-            n_pairs=Q * A * 2, nb=p.nb,
+            n_pairs=Q * Adm * 2, nb=p.nb,
             xvar=p.xvar, yvar=p.yvar, min_block_len=p.min_block_len,
             max_overhang=p.max_overhang,
             deviation_penalty=p.deviation_penalty, gap_penalty=p.gap_penalty,
         )
         _prof("dotmx", res.score)
-        out = dict(rids=rids, lens=lens, cands=cands_d, csorted=csorted_d,
+        out = dict(rids=rids, lens=lens, cands=cands_dm, csorted=csorted_d,
                    match_cnt=res.match_cnt, total=pairs.total,
                    expand_total=pairs.expand_total, ebud=ebud, pbud=pbud,
-                   cbud=cbud, cand_total=cand_total, res=res)
+                   cbud=cbud, cand_total=cand_total, res=res, b0=b0,
+                   zneed=need)
         if p.engine == "sw":
             out["sw"] = sw_align_batch(
                 res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
                 csorted_d, jnp.asarray(batch), jnp.asarray(lens),
                 flat_bases, read_offs, read_lens,
-                Q=Q, A=A, C=p.align_cap, Ltier=Ltier, W=p.band_w,
+                Q=Q, A=Adm, C=p.align_cap, Ltier=Ltier, W=p.band_w,
                 match=p.sw_match, mismatch=p.sw_mismatch, gap=p.sw_gap,
             )
         return out
+
+    def settle(d):
+        # pair-budget overflow would silently drop matches: redispatch the
+        # batch synchronously with the full expansion budget, then record
+        # the observed survivor ratio so later batches size tighter
+        total = int(d["total"])
+        if total > d["pbud"]:
+            log("pair budget overflow (%d > %d): redispatching batch at %d",
+                total, d["pbud"], d["ebud"])
+            d = dispatch(d["b0"], pbud_override=d["ebud"])
+            total = int(d["total"])
+        if d["zneed"] > 0:
+            pair_ratio.append(min(1.0, total / d["zneed"]))
+            del pair_ratio[:-64]
+        _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps,
+                      emitted_pairs, Adm, rdmask, attempted_out)
 
     pending = None
     for b0 in range(0, n, Q):
@@ -302,15 +339,13 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         nxt = dispatch(b0)
         _prof("_start")
         if pending is not None:
-            _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
-                          emitted_pairs, A, rdmask, attempted_out)
+            settle(pending)
         _prof("finish")
         pending = nxt
         if progress and (b0 // Q) % 8 == 0:
             log("overlapped %d/%d reads, %d overlaps", min(n, b0 + Q), n, len(overlaps))
     if pending is not None:
-        _finish_batch(rb, p, pending, rdcovs, attempted_by, overlaps,
-                      emitted_pairs, A, rdmask, attempted_out)
+        settle(pending)
     log("overlap done: %d overlaps", len(overlaps))
     if _PROF:
         prof_report()
