@@ -256,9 +256,16 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None) -> np.ndarray:
         return cns
     nreads = len(unit.reads)
     offs = list(unit.offs)
+    # convergence guard: agreement = total read bases matching the current
+    # backbone, a penalty-independent quality metric.  If an iteration's
+    # backbone agrees with the reads less than the previous one did, the
+    # DAG update diverged (insertion bloat) — return the previous backbone.
+    prev_cns = None
+    prev_agree = -1
     for it in range(p.n_iter):
         dag = DagCns(p.ref_penalty, p.alt_penalty)
         dag.set_backbone(cns)
+        agree = 0
         pending = []  # (score, beg, end, a0, a1)
         for b0 in range(0, nreads, p.batch_reads):
             ridx = list(range(b0, min(nreads, b0 + p.batch_reads)))
@@ -312,7 +319,13 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None) -> np.ndarray:
                 beg = wstarts[i] + int(b_begs[i])
                 end = wstarts[i] + int(end_col[i])
                 pending.append((int(score[i]), beg, end, rb_, ra, ridx[i]))
+                agree += m
                 offs[ridx[i]] = beg
+        if agree < prev_agree:
+            log("cns %s iter %d: agreement %d < %d, keeping previous backbone",
+                unit.name, it + 1, agree, prev_agree)
+            return prev_cns
+        prev_cns, prev_agree = cns, agree
         pending.sort(key=lambda t: -t[0])
         for sc, beg, end, a0, a1, _ in pending:
             dag.add_alignment(beg, end, a0, a1)
