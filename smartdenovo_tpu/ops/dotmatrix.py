@@ -224,6 +224,166 @@ def extract_zmer_pairs(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("expand_budget", "pair_budget", "kvar", "zbits", "max_per_read"),
+)
+def extract_zmer_pairs_join(
+    qz: jnp.ndarray,     # [Q, L] uint32 query zmers
+    qdir: jnp.ndarray,   # [Q, L] bool
+    qoff: jnp.ndarray,   # [Q, L] int32
+    qspan: jnp.ndarray,  # [Q, L] int32
+    qvalid: jnp.ndarray, # [Q, L] bool
+    cands_sorted: jnp.ndarray,  # [Q, A] int32 candidate read ids (pad INT32_MAX)
+    rm_zp: jnp.ndarray,   # [P, 2] int32 (zmer, off<<9|span<<1|dir), read-major
+    rm_start: jnp.ndarray,  # [R+1] int32 CSR per-read posting offsets
+    read_lens: jnp.ndarray,  # [R] int32
+    *,
+    expand_budget: int,   # >= Q*A*max_read_z: total candidate zmer entries
+    pair_budget: int,
+    kvar: int = 2,
+    zbits: int = 20,      # 2*zsize
+    max_per_read: int = 16,
+) -> PairBatch:
+    """Per-pair z-mer intersection via one global sort (scalable matcher).
+
+    Unlike `extract_zmer_pairs` (posting expansion, cost ~ sum of global
+    zmer frequencies — quadratic in genome size at fixed coverage), this
+    joins each query's zmer list against ONLY its candidates' lists:
+
+      1. expand every (query, candidate) pair into the candidate's
+         read-major posting slice (cost = Q*A*avg_read_zmers, scale-free),
+      2. one global sort of [query entries + candidate entries] keyed by
+         (query, zmer, side) groups matching zmers into runs with the
+         query occurrences first,
+      3. per candidate entry, the run's query-occurrence count n is a
+         prefix-sum difference (no gathers); a second budgeted expansion
+         emits the n x m cross product of co-occurrences.
+
+    The per-read occurrence cap (hzm_aln.h:107) falls out naturally: a
+    query (read, zmer) group with >= max_per_read occurrences is dropped,
+    exactly mirroring the index-side group drop.  Random gathers per
+    element: ~2 wide-row gathers + 2 payload gathers, vs ~5 in the
+    expansion matcher — and no exposure to global zmer frequency.
+    """
+    Q, L = qz.shape
+    A = cands_sorted.shape[1]
+    assert A <= 511, "slot packing uses 9 bits; keep dm_cand <= 511"
+    assert Q * (1 << (zbits + 1)) < (1 << 31), "key packing overflow: shrink Q or zsize"
+    R = read_lens.shape[0]
+    P = rm_zp.shape[0]
+    BIGP = jnp.int32(Q * A * 2)
+    SENT = INT32_MAX
+
+    # ---- phase 1: expand candidate posting slices --------------------
+    c = jnp.clip(cands_sorted, 0, R - 1)
+    cvalid = (cands_sorted >= 0) & (cands_sorted < R)
+    cstart = rm_start[c]
+    cnt1 = jnp.where(cvalid, rm_start[c + 1] - cstart, 0).reshape(-1)
+    clen_c = jnp.where(cvalid, read_lens[c], 0).reshape(-1)
+    qslot = (
+        (jnp.arange(Q, dtype=jnp.int32)[:, None] << 9)
+        | jnp.arange(A, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    cum1 = jnp.cumsum(cnt1)
+    total1 = cum1[-1]
+    ost1 = cum1 - cnt1
+    n1 = cnt1.shape[0]
+    idx1 = jnp.where(cnt1 > 0, jnp.clip(ost1, 0, expand_budget), expand_budget)
+    mark1 = (
+        jnp.zeros(expand_budget + 1, jnp.int32)
+        .at[idx1]
+        .max(jnp.arange(1, n1 + 1, dtype=jnp.int32), mode="drop")[:expand_budget]
+    )
+    src1 = jax.lax.cummax(mark1) - 1
+    src1c = jnp.clip(src1, 0, n1 - 1)
+    etab = jnp.stack([ost1, cstart.reshape(-1), clen_c, qslot], axis=1)
+    g1 = etab[src1c]                                   # 4-wide gather [MB]
+    p1 = jnp.arange(expand_budget, dtype=jnp.int32)
+    pidx = jnp.clip(g1[:, 1] + (p1 - g1[:, 0]), 0, P - 1)
+    alive1 = (p1 < total1) & (src1 >= 0)
+    zp = rm_zp[pidx]                                   # 2-wide gather [MB]
+    ez, ep = zp[:, 0], zp[:, 1]
+    qs_e = g1[:, 3]
+    clen_e = g1[:, 2]
+
+    # ---- phase 2: global sort join -----------------------------------
+    qpk = (
+        (qoff.reshape(-1).astype(jnp.int32) << 9)
+        | (jnp.minimum(qspan.reshape(-1), 255).astype(jnp.int32) << 1)
+        | qdir.reshape(-1).astype(jnp.int32)
+    )
+    q_of = (jnp.arange(Q * L, dtype=jnp.int32) // L).astype(jnp.int32)
+    qkey = jnp.where(
+        qvalid.reshape(-1),
+        (q_of << (zbits + 1)) | (qz.reshape(-1).astype(jnp.int32) << 1),
+        SENT,
+    )
+    ckey = jnp.where(
+        alive1,
+        ((qs_e >> 9) << (zbits + 1)) | (ez << 1) | 1,
+        SENT,
+    )
+    key = jnp.concatenate([qkey, ckey])
+    pk = jnp.concatenate([qpk, ep])
+    aux = jnp.concatenate([jnp.zeros(Q * L, jnp.int32), qs_e])
+    cln = jnp.concatenate([jnp.zeros(Q * L, jnp.int32), clen_e])
+    key, pk, aux, cln = jax.lax.sort((key, pk, aux, cln), num_keys=1)
+    svalid = key != SENT
+    tag1 = svalid & ((key & 1) == 1)
+    tag0 = svalid & ((key & 1) == 0)
+    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+    grp = key >> 1
+    run_new = jnp.concatenate([jnp.ones(1, bool), grp[1:] != grp[:-1]])
+    run_start = jax.lax.cummax(jnp.where(run_new, iota, -1))
+    pre0 = jnp.cumsum(tag0.astype(jnp.int32)) - tag0.astype(jnp.int32)
+    pre0_rs = jax.lax.cummax(jnp.where(run_new, pre0, -1))  # pre0 is monotone
+    qcnt = pre0 - pre0_rs
+    cnt2 = jnp.where(tag1 & (qcnt > 0) & (qcnt < max_per_read), qcnt, 0)
+
+    # ---- phase 3: emit n x m co-occurrences --------------------------
+    cum2 = jnp.cumsum(cnt2)
+    total2 = cum2[-1]
+    ost2 = cum2 - cnt2
+    n2 = cnt2.shape[0]
+    idx2 = jnp.where(cnt2 > 0, jnp.clip(ost2, 0, pair_budget), pair_budget)
+    mark2 = (
+        jnp.zeros(pair_budget + 1, jnp.int32)
+        .at[idx2]
+        .max(jnp.arange(1, n2 + 1, dtype=jnp.int32), mode="drop")[:pair_budget]
+    )
+    src2 = jax.lax.cummax(mark2) - 1
+    src2c = jnp.clip(src2, 0, n2 - 1)
+    tab2 = jnp.stack([ost2, run_start, pk, aux, cln], axis=1)
+    g2 = tab2[src2c]                                   # 5-wide gather [PB]
+    p2 = jnp.arange(pair_budget, dtype=jnp.int32)
+    qpos = jnp.clip(g2[:, 1] + (p2 - g2[:, 0]), 0, n2 - 1)
+    alive2 = (p2 < total2) & (src2 >= 0)
+    qg = pk[qpos]                                      # payload gather [PB]
+    cg = g2[:, 2]
+    q_off = qg >> 9
+    q_span = (qg >> 1) & 0xFF
+    p_off = cg >> 9
+    p_span = (cg >> 1) & 0xFF
+    pairdir = (qg ^ cg) & 1
+    o2 = jnp.where(pairdir == 1, g2[:, 4] - (p_off + p_span), p_off)
+    len_ok = alive2 & (jnp.abs(q_span - p_span) <= kvar)
+    qslot2 = g2[:, 3]
+    pair_id = jnp.where(
+        len_ok, ((qslot2 >> 9) * A + (qslot2 & 0x1FF)) * 2 + pairdir, BIGP
+    )
+    return PairBatch(
+        pair_id=pair_id,
+        off1=q_off,
+        off2=o2,
+        len1=q_span,
+        len2=p_span,
+        match_cnt=jnp.zeros(Q * A * 2, jnp.int32),  # filled by dot_matrix_align
+        total=total2,
+        expand_total=total1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # phases 3-5: blocks, merge, chain
 # ---------------------------------------------------------------------------

@@ -153,6 +153,10 @@ class ZmerIndex:
     max_per_read: int = 16
     np_zmers: "np.ndarray" = None     # host copy for budget sizing
     np_key: "np.ndarray" = None       # host packed (zmer<<32)|rd
+    # read-major view for the sort-join matcher (extract_zmer_pairs_join):
+    rm_zp: jnp.ndarray = None        # [P, 2] int32 (zmer, packed), sorted by (rd, zmer)
+    rm_start: jnp.ndarray = None     # [R+1] int32 CSR offsets per read
+    max_read_z: int = 0              # max postings of any single read
 
 
 def build_zmer_index(
@@ -209,6 +213,16 @@ def build_zmer_index(
         | (np.minimum(post_span, 255).astype(np.int64) << 1)
         | post_dir.astype(np.int64)
     ).astype(np.int32)
+    # read-major copy: per-read posting slices for per-pair intersection
+    rmo = np.argsort(
+        (post_rd.astype(np.uint64) << np.uint64(32)) | zmers.astype(np.uint64),
+        kind="stable",
+    )
+    rm_zp = np.stack(
+        [zmers[rmo].astype(np.int32), packed[rmo]], axis=1
+    )
+    percnt = np.bincount(post_rd, minlength=len(rb)).astype(np.int32)
+    rm_start = np.concatenate([[0], np.cumsum(percnt)]).astype(np.int32)
     return ZmerIndex(
         zmers=jnp.asarray(zmers),
         post_rd=jnp.asarray(post_rd),
@@ -220,4 +234,7 @@ def build_zmer_index(
         max_per_read=max_per_read,
         np_zmers=zmers,
         np_key=(zmers.astype(np.uint64) << np.uint64(32)) | post_rd.astype(np.uint64),
+        rm_zp=jnp.asarray(rm_zp),
+        rm_start=jnp.asarray(rm_start),
+        max_read_z=int(percnt.max()) if len(percnt) else 0,
     )

@@ -24,7 +24,8 @@ from ..ops.seeds import (extract_seeds, subsample_mask, np_canonical_kmers,
                          np_jenkins_u32)
 from ..ops.index import build_kmer_index, build_zmer_index
 from ..ops.candidates import scan_candidates
-from ..ops.dotmatrix import extract_zmer_pairs, dot_matrix_align, PairBatch
+from ..ops.dotmatrix import (extract_zmer_pairs, extract_zmer_pairs_join,
+                             dot_matrix_align, PairBatch)
 from ..ops.zmo_sw import sw_align_batch
 from ..utils.log import log
 
@@ -201,7 +202,13 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     # pair-budget sizing: survivors of the candidate slot filter as a
     # fraction of the expansion; self-tunes from completed batches, with an
     # overflow redispatch as the safety net (silent truncation loses pairs)
-    pair_ratio = [0.5]
+    # static candidate-entry budget for the sort-join matcher: exact upper
+    # bound on per-batch candidate zmer entries, factor-2 quantized so the
+    # whole run compiles each kernel once
+    MB = max(1 << 18, 1 << int(np.ceil(np.log2(
+        max(1, Q * Adm * max(1, zidx.max_read_z))))))
+    MB = min(MB, 1 << 26)
+    pair_hist = [MB // 8]  # observed match totals; sizes the pair budget
     # one length tier for the whole run: reads are length-sorted desc, so
     # rb.lengths[0] is the maximum — a single compile per kernel
     Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
@@ -257,36 +264,23 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         ).astype(jnp.int32)
         zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
         _prof("seeds10", zres["kmer"])
-        # exact host-side expansion sizing (numpy twin of the zmer scan):
-        # silent truncation here cost 1/3 of true overlaps before this check
-        codes, valid_np = np_canonical_kmers(batch, lens, p.zsize, p.hz)
-        flat = codes.reshape(-1)
-        lo = np.searchsorted(zidx.np_zmers, flat, side="left")
-        hi = np.searchsorted(zidx.np_zmers, flat, side="right")
-        own = (zidx.np_key.astype(np.uint64) if False else zidx.np_key)
-        probe = (flat.astype(np.uint64) << np.uint64(32)) | np.repeat(
-            rids.astype(np.uint64), codes.shape[1])
-        own_ok = own[np.clip(np.searchsorted(own, probe), 0, len(own) - 1)] == probe
-        cnt = np.where(valid_np.reshape(-1) & own_ok & ((hi - lo) <= 4096), hi - lo, 0)
-        need = int(cnt.sum())
-        # quantize to factor-4 tiers: each distinct budget costs one compile
-        ebud = max(1 << 18, 1 << (2 * int(np.ceil(np.log2(need + 1024) / 2))))
-        ebud = min(ebud, p.expand_budget_cap)
+        # sort-join matcher: the candidate-entry budget is a static exact
+        # bound (Q * dm_cand * longest read's zmer count) — one compile per
+        # run and no silent truncation; the pair budget self-tunes from
+        # observed match counts with an overflow redispatch
+        ebud = MB
         if pbud_override is not None:
             pbud = pbud_override
         else:
-            # factor-2 tiers: pair sorts dominate dot-matrix cost, so the
-            # tighter quantization pays for the extra compiles
-            pneed = int(need * min(1.0, max(pair_ratio) * 1.25)) + 1024
+            pneed = int(max(pair_hist) * 1.3) + 1024
             pbud = max(1 << 18, 1 << int(np.ceil(np.log2(pneed))))
-            pbud = min(pbud, ebud)
-        _prof("host_size_z")
-        pairs = extract_zmer_pairs(
+            pbud = min(pbud, MB)
+        pairs = extract_zmer_pairs_join(
             zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
-            jnp.asarray(rids, jnp.int32), csorted_d,
-            zidx.zmers, zidx.post_rd, zidx.post_packed,
-            read_lens,
-            expand_budget=ebud, pair_budget=pbud, kvar=p.kvar,
+            csorted_d,
+            zidx.rm_zp, zidx.rm_start, read_lens,
+            expand_budget=MB, pair_budget=pbud, kvar=p.kvar,
+            zbits=2 * p.zsize, max_per_read=p.max_zmer_freq,
         )
         _prof("zpairs", pairs.pair_id)
         clen_of_pair = jnp.repeat(
@@ -306,7 +300,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
                    match_cnt=res.match_cnt, total=pairs.total,
                    expand_total=pairs.expand_total, ebud=ebud, pbud=pbud,
                    cbud=cbud, cand_total=cand_total, res=res, b0=b0,
-                   zneed=need)
+                   )
         if p.engine == "sw":
             out["sw"] = sw_align_batch(
                 res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
@@ -323,13 +317,13 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         # the observed survivor ratio so later batches size tighter
         total = int(d["total"])
         if total > d["pbud"]:
+            newb = max(1 << 18, 1 << int(np.ceil(np.log2(total + 1024))))
             log("pair budget overflow (%d > %d): redispatching batch at %d",
-                total, d["pbud"], d["ebud"])
-            d = dispatch(d["b0"], pbud_override=d["ebud"])
+                total, d["pbud"], newb)
+            d = dispatch(d["b0"], pbud_override=newb)
             total = int(d["total"])
-        if d["zneed"] > 0:
-            pair_ratio.append(min(1.0, total / d["zneed"]))
-            del pair_ratio[:-64]
+        pair_hist.append(total)
+        del pair_hist[:-64]
         _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps,
                       emitted_pairs, Adm, rdmask, attempted_out)
 
