@@ -235,11 +235,12 @@ def extract_zmer_pairs_join(
     qspan: jnp.ndarray,  # [Q, L] int32
     qvalid: jnp.ndarray, # [Q, L] bool
     cands_sorted: jnp.ndarray,  # [Q, A] int32 candidate read ids (pad INT32_MAX)
-    rm_zp: jnp.ndarray,   # [P, 2] int32 (zmer, off<<9|span<<1|dir), read-major
+    rm_zsd: jnp.ndarray,  # [P] int32 zmer<<9|span<<1|dir, read-major sorted
+    rm_pk: jnp.ndarray,   # [P] int32 off<<9|span<<1|dir, read-major sorted
     rm_start: jnp.ndarray,  # [R+1] int32 CSR per-read posting offsets
     read_lens: jnp.ndarray,  # [R] int32
     *,
-    expand_budget: int,   # >= Q*A*max_read_z: total candidate zmer entries
+    expand_budget: int,   # >= total candidate zmer entries this batch
     pair_budget: int,
     kvar: int = 2,
     zbits: int = 20,      # 2*zsize
@@ -262,32 +263,30 @@ def extract_zmer_pairs_join(
 
     The per-read occurrence cap (hzm_aln.h:107) falls out naturally: a
     query (read, zmer) group with >= max_per_read occurrences is dropped,
-    exactly mirroring the index-side group drop.  Random gathers per
-    element: ~2 wide-row gathers + 2 payload gathers, vs ~5 in the
-    expansion matcher — and no exposure to global zmer frequency.
+    exactly mirroring the index-side group drop.  TPU shape rules: every
+    intermediate is strictly 1-D ([N, small] tiles to (8, 128) and costs
+    32-128x the memory); per-source range data folds into single arrays
+    via the difference trick pidx = p + (range_start - out_start)[src].
+    Random gathers: 2 at expansion width, 6 at match width.
     """
     Q, L = qz.shape
     A = cands_sorted.shape[1]
-    assert A <= 511, "slot packing uses 9 bits; keep dm_cand <= 511"
     assert Q * (1 << (zbits + 1)) < (1 << 31), "key packing overflow: shrink Q or zsize"
     R = read_lens.shape[0]
-    P = rm_zp.shape[0]
+    P = rm_zsd.shape[0]
     BIGP = jnp.int32(Q * A * 2)
     SENT = INT32_MAX
 
     # ---- phase 1: expand candidate posting slices --------------------
     c = jnp.clip(cands_sorted, 0, R - 1)
     cvalid = (cands_sorted >= 0) & (cands_sorted < R)
-    cstart = rm_start[c]
-    cnt1 = jnp.where(cvalid, rm_start[c + 1] - cstart, 0).reshape(-1)
-    clen_c = jnp.where(cvalid, read_lens[c], 0).reshape(-1)
-    qslot = (
-        (jnp.arange(Q, dtype=jnp.int32)[:, None] << 9)
-        | jnp.arange(A, dtype=jnp.int32)[None, :]
-    ).reshape(-1)
+    cstart = jnp.where(cvalid, rm_start[c], 0).reshape(-1)
+    cnt1 = jnp.where(cvalid, rm_start[c + 1] - rm_start[c], 0).reshape(-1)
+    clen_flat = jnp.where(cvalid, read_lens[c], 0).reshape(-1)  # [Q*A]
     cum1 = jnp.cumsum(cnt1)
     total1 = cum1[-1]
     ost1 = cum1 - cnt1
+    diff1 = cstart - ost1          # [Q*A]: posting index = slot + diff1[src]
     n1 = cnt1.shape[0]
     idx1 = jnp.where(cnt1 > 0, jnp.clip(ost1, 0, expand_budget), expand_budget)
     mark1 = (
@@ -297,15 +296,11 @@ def extract_zmer_pairs_join(
     )
     src1 = jax.lax.cummax(mark1) - 1
     src1c = jnp.clip(src1, 0, n1 - 1)
-    etab = jnp.stack([ost1, cstart.reshape(-1), clen_c, qslot], axis=1)
-    g1 = etab[src1c]                                   # 4-wide gather [MB]
     p1 = jnp.arange(expand_budget, dtype=jnp.int32)
-    pidx = jnp.clip(g1[:, 1] + (p1 - g1[:, 0]), 0, P - 1)
+    pidx = jnp.clip(p1 + diff1[src1c], 0, P - 1)       # gather 1 [MB]
     alive1 = (p1 < total1) & (src1 >= 0)
-    zp = rm_zp[pidx]                                   # 2-wide gather [MB]
-    ez, ep = zp[:, 0], zp[:, 1]
-    qs_e = g1[:, 3]
-    clen_e = g1[:, 2]
+    zsd = rm_zsd[pidx]                                 # gather 2 [MB]
+    q1 = src1c // A
 
     # ---- phase 2: global sort join -----------------------------------
     qpk = (
@@ -321,14 +316,15 @@ def extract_zmer_pairs_join(
     )
     ckey = jnp.where(
         alive1,
-        ((qs_e >> 9) << (zbits + 1)) | (ez << 1) | 1,
+        (q1 << (zbits + 1)) | ((zsd >> 9) << 1) | 1,
         SENT,
     )
+    # payload: query entries carry their packed fields, candidate entries
+    # their posting index; aux: candidate (query*A + slot) pair row
     key = jnp.concatenate([qkey, ckey])
-    pk = jnp.concatenate([qpk, ep])
-    aux = jnp.concatenate([jnp.zeros(Q * L, jnp.int32), qs_e])
-    cln = jnp.concatenate([jnp.zeros(Q * L, jnp.int32), clen_e])
-    key, pk, aux, cln = jax.lax.sort((key, pk, aux, cln), num_keys=1)
+    pay = jnp.concatenate([qpk, pidx])
+    aux = jnp.concatenate([jnp.zeros(Q * L, jnp.int32), src1c])
+    key, pay, aux = jax.lax.sort((key, pay, aux), num_keys=1)
     svalid = key != SENT
     tag1 = svalid & ((key & 1) == 1)
     tag0 = svalid & ((key & 1) == 0)
@@ -345,6 +341,7 @@ def extract_zmer_pairs_join(
     cum2 = jnp.cumsum(cnt2)
     total2 = cum2[-1]
     ost2 = cum2 - cnt2
+    diff2 = run_start - ost2       # [N]: query entry = slot + diff2[src]
     n2 = cnt2.shape[0]
     idx2 = jnp.where(cnt2 > 0, jnp.clip(ost2, 0, pair_budget), pair_budget)
     mark2 = (
@@ -354,24 +351,22 @@ def extract_zmer_pairs_join(
     )
     src2 = jax.lax.cummax(mark2) - 1
     src2c = jnp.clip(src2, 0, n2 - 1)
-    tab2 = jnp.stack([ost2, run_start, pk, aux, cln], axis=1)
-    g2 = tab2[src2c]                                   # 5-wide gather [PB]
     p2 = jnp.arange(pair_budget, dtype=jnp.int32)
-    qpos = jnp.clip(g2[:, 1] + (p2 - g2[:, 0]), 0, n2 - 1)
+    qpos = jnp.clip(p2 + diff2[src2c], 0, n2 - 1)      # gather 3 [PB]
     alive2 = (p2 < total2) & (src2 >= 0)
-    qg = pk[qpos]                                      # payload gather [PB]
-    cg = g2[:, 2]
+    pidx2 = jnp.clip(pay[src2c], 0, P - 1)             # gather 4 [PB]
+    qslot2 = jnp.clip(aux[src2c], 0, n1 - 1)           # gather 5 [PB]
+    qg = pay[qpos]                                     # gather 6 [PB]
+    cg = rm_pk[pidx2]                                  # gather 7 [PB]
+    cln = clen_flat[qslot2]                            # gather 8 [PB] (small tab)
     q_off = qg >> 9
     q_span = (qg >> 1) & 0xFF
     p_off = cg >> 9
     p_span = (cg >> 1) & 0xFF
     pairdir = (qg ^ cg) & 1
-    o2 = jnp.where(pairdir == 1, g2[:, 4] - (p_off + p_span), p_off)
+    o2 = jnp.where(pairdir == 1, cln - (p_off + p_span), p_off)
     len_ok = alive2 & (jnp.abs(q_span - p_span) <= kvar)
-    qslot2 = g2[:, 3]
-    pair_id = jnp.where(
-        len_ok, ((qslot2 >> 9) * A + (qslot2 & 0x1FF)) * 2 + pairdir, BIGP
-    )
+    pair_id = jnp.where(len_ok, qslot2 * 2 + pairdir, BIGP)
     return PairBatch(
         pair_id=pair_id,
         off1=q_off,

@@ -153,10 +153,14 @@ class ZmerIndex:
     max_per_read: int = 16
     np_zmers: "np.ndarray" = None     # host copy for budget sizing
     np_key: "np.ndarray" = None       # host packed (zmer<<32)|rd
-    # read-major view for the sort-join matcher (extract_zmer_pairs_join):
-    rm_zp: jnp.ndarray = None        # [P, 2] int32 (zmer, packed), sorted by (rd, zmer)
+    # read-major view for the sort-join matcher (extract_zmer_pairs_join);
+    # strictly 1-D arrays: [N, small] shapes tile to (8, 128) on TPU and
+    # blow up memory 32-128x
+    rm_zsd: jnp.ndarray = None       # [P] int32 zmer<<9|span<<1|dir, read-major
+    rm_pk: jnp.ndarray = None        # [P] int32 off<<9|span<<1|dir, read-major
     rm_start: jnp.ndarray = None     # [R+1] int32 CSR offsets per read
     max_read_z: int = 0              # max postings of any single read
+    np_top_z: "np.ndarray" = None    # read z-counts sorted desc (budget bound)
 
 
 def build_zmer_index(
@@ -218,9 +222,12 @@ def build_zmer_index(
         (post_rd.astype(np.uint64) << np.uint64(32)) | zmers.astype(np.uint64),
         kind="stable",
     )
-    rm_zp = np.stack(
-        [zmers[rmo].astype(np.int32), packed[rmo]], axis=1
-    )
+    rm_zsd = (
+        (zmers[rmo].astype(np.int64) << 9)
+        | (np.minimum(post_span[rmo], 255).astype(np.int64) << 1)
+        | post_dir[rmo].astype(np.int64)
+    ).astype(np.int32)
+    rm_pk = packed[rmo]
     percnt = np.bincount(post_rd, minlength=len(rb)).astype(np.int32)
     rm_start = np.concatenate([[0], np.cumsum(percnt)]).astype(np.int32)
     return ZmerIndex(
@@ -234,7 +241,9 @@ def build_zmer_index(
         max_per_read=max_per_read,
         np_zmers=zmers,
         np_key=(zmers.astype(np.uint64) << np.uint64(32)) | post_rd.astype(np.uint64),
-        rm_zp=jnp.asarray(rm_zp),
+        rm_zsd=jnp.asarray(rm_zsd),
+        rm_pk=jnp.asarray(rm_pk),
         rm_start=jnp.asarray(rm_start),
         max_read_z=int(percnt.max()) if len(percnt) else 0,
+        np_top_z=np.sort(percnt)[::-1].copy(),
     )

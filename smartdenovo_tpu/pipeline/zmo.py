@@ -202,18 +202,19 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     # pair-budget sizing: survivors of the candidate slot filter as a
     # fraction of the expansion; self-tunes from completed batches, with an
     # overflow redispatch as the safety net (silent truncation loses pairs)
-    # static candidate-entry budget for the sort-join matcher: exact upper
-    # bound on per-batch candidate zmer entries, factor-2 quantized so the
-    # whole run compiles each kernel once
-    MB = max(1 << 18, 1 << int(np.ceil(np.log2(
-        max(1, Q * Adm * max(1, zidx.max_read_z))))))
-    MB = min(MB, 1 << 26)
-    pair_hist = [MB // 8]  # observed match totals; sizes the pair budget
+    # candidate-entry budget for the sort-join matcher.  Sound upper bound:
+    # Q * (sum of the Adm largest per-read zmer counts); start at half and
+    # self-tune from observed totals, with an overflow redispatch.
+    mb_bound = int(Q * zidx.np_top_z[:Adm].sum()) if len(zidx.np_top_z) else 1 << 18
+    mb_bound = max(1 << 18, 1 << int(np.ceil(np.log2(mb_bound + 1024))))
+    mb_bound = min(mb_bound, 1 << 26)
+    exp_hist = [mb_bound // 4]   # observed candidate-entry totals
+    pair_hist = [mb_bound // 8]  # observed match totals; sizes the pair budget
     # one length tier for the whole run: reads are length-sorted desc, so
     # rb.lengths[0] is the maximum — a single compile per kernel
     Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
 
-    def dispatch(b0, pbud_override=None):
+    def dispatch(b0, pbud_override=None, mb_override=None):
         real = np.arange(b0, min(n, b0 + Q))
         rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
         batch, lens = rb.batch(rids, pad_to=Ltier)
@@ -264,10 +265,14 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         ).astype(jnp.int32)
         zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
         _prof("seeds10", zres["kmer"])
-        # sort-join matcher: the candidate-entry budget is a static exact
-        # bound (Q * dm_cand * longest read's zmer count) — one compile per
-        # run and no silent truncation; the pair budget self-tunes from
-        # observed match counts with an overflow redispatch
+        # sort-join matcher: both budgets self-tune from observed totals,
+        # with overflow redispatch as the safety net (never silently drops)
+        if mb_override is not None:
+            MB = mb_override
+        else:
+            eneed = int(max(exp_hist) * 1.3) + 1024
+            MB = max(1 << 18, 1 << int(np.ceil(np.log2(eneed))))
+            MB = min(MB, mb_bound)
         ebud = MB
         if pbud_override is not None:
             pbud = pbud_override
@@ -278,7 +283,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         pairs = extract_zmer_pairs_join(
             zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
             csorted_d,
-            zidx.rm_zp, zidx.rm_start, read_lens,
+            zidx.rm_zsd, zidx.rm_pk, zidx.rm_start, read_lens,
             expand_budget=MB, pair_budget=pbud, kvar=p.kvar,
             zbits=2 * p.zsize, max_per_read=p.max_zmer_freq,
         )
@@ -316,12 +321,22 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         # batch synchronously with the full expansion budget, then record
         # the observed survivor ratio so later batches size tighter
         total = int(d["total"])
-        if total > d["pbud"]:
-            newb = max(1 << 18, 1 << int(np.ceil(np.log2(total + 1024))))
-            log("pair budget overflow (%d > %d): redispatching batch at %d",
-                total, d["pbud"], newb)
-            d = dispatch(d["b0"], pbud_override=newb)
+        texp = int(d["expand_total"])
+        for _ in range(4):
+            if texp <= d["ebud"] and total <= d["pbud"]:
+                break
+            # a truncated expansion also under-reports the match total, so
+            # grow both and re-verify after the redispatch
+            newe = max(d["ebud"], 1 << int(np.ceil(np.log2(texp + 1024))))
+            newp = max(min(d["pbud"] * 2, newe),
+                       1 << int(np.ceil(np.log2(total + 1024))))
+            log("budget overflow (exp %d/%d, pair %d/%d): redispatching at %d/%d",
+                texp, d["ebud"], total, d["pbud"], newe, newp)
+            d = dispatch(d["b0"], pbud_override=newp, mb_override=newe)
             total = int(d["total"])
+            texp = int(d["expand_total"])
+        exp_hist.append(texp)
+        del exp_hist[:-64]
         pair_hist.append(total)
         del pair_hist[:-64]
         _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps,
