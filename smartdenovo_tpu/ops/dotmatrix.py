@@ -386,6 +386,7 @@ def extract_zmer_pairs_join(
 
 class DotMatrixResult(NamedTuple):
     match_cnt: jnp.ndarray  # [Q*A*2] int32 seed matches per pair id
+    blk_total: jnp.ndarray  # scalar int32: blocks formed (vs nbk budget)
     pair_id: jnp.ndarray  # [NP] int32 (BIGP pad)
     score: jnp.ndarray    # [NP] int32 chained coverage weight
     tb: jnp.ndarray       # [NP] int32 query begin
@@ -409,7 +410,8 @@ def _seg_firsts(valid_first, seg_id, vals, n_seg, fill):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_pairs", "nb", "xvar", "yvar", "min_block_len", "max_overhang"),
+    static_argnames=("n_pairs", "nb", "xvar", "yvar", "min_block_len", "max_overhang",
+                     "nbk"),
 )
 def dot_matrix_align(
     pairs: PairBatch,
@@ -424,8 +426,13 @@ def dot_matrix_align(
     max_overhang: int = 256,
     deviation_penalty: float = 1.0,
     gap_penalty: float = 0.05,
+    nbk: int | None = None,  # block budget: merge phase runs at this width
+                             # (blocks are ~10-50x fewer than matches; the
+                             # caller redispatches if blk_total overflows)
 ) -> DotMatrixResult:
     PB = pairs.pair_id.shape[0]
+    if nbk is None:
+        nbk = PB
     BIGP = qlens_of_pair.shape[0]  # == Q*A*2
     diag = pairs.off1 - pairs.off2
     dead = pairs.pair_id >= BIGP
@@ -437,20 +444,21 @@ def dot_matrix_align(
     )
     live = k1 < BIGP
     pair_new = jnp.concatenate([jnp.ones(1, bool), k1[1:] != k1[:-1]])
-    # per-pair seed-match counts via cumsum at sorted-run boundaries
+    # per-pair seed-match counts: two boundary scatter-sets of the live
+    # cumsum (start and end per pair run) — no budget-wide gather
     ones_c = jnp.cumsum(live.astype(jnp.int32))
-    run_start_c = jnp.where(pair_new & live, ones_c - 1, 0)
-    seg_idx = jnp.cumsum(pair_new.astype(jnp.int32)) - 1
-    starts_per_seg = jnp.zeros(PB + 1, jnp.int32).at[
-        jnp.where(pair_new & live, seg_idx, PB)
-    ].set(run_start_c, mode="drop")
     seg_last = jnp.concatenate([pair_new[1:], jnp.ones(1, bool)])
-    seg_cnt = jnp.where(seg_last & live, ones_c - starts_per_seg[seg_idx], 0)
-    match_cnt = (
+    endC = (
         jnp.zeros(int(BIGP) + 1, jnp.int32)
         .at[jnp.where(seg_last & live, k1, BIGP)]
-        .set(seg_cnt, mode="drop")[: int(BIGP)]
+        .set(ones_c, mode="drop")[: int(BIGP)]
     )
+    startC = (
+        jnp.zeros(int(BIGP) + 1, jnp.int32)
+        .at[jnp.where(pair_new & live, k1, BIGP)]
+        .set(ones_c - live.astype(jnp.int32), mode="drop")[: int(BIGP)]
+    )
+    match_cnt = endC - startC
     grp_new = pair_new | jnp.concatenate([jnp.ones(1, bool), (k2[1:] - k2[:-1]) > yvar])
     grp_id = jnp.cumsum(grp_new.astype(jnp.int32)) - 1
     # re-sort within diagonal groups by off1
@@ -462,9 +470,13 @@ def dot_matrix_align(
         o1 > prev_end1 + xvar
     )
     blk_id = jnp.cumsum(blk_new.astype(jnp.int32)) - 1
+    blk_total = blk_id[-1] + 1
     contrib = jnp.where(blk_new, l1, (o1 + l1) - prev_end1)
     contrib = jnp.where(live, contrib, 0)
-    nseg = PB
+    # block ids are dense-sequential, so reductions land directly in the
+    # compact [nbk] block space and the whole merge phase runs ~PB/nbk x
+    # narrower; out-of-budget ids drop (caller checks blk_total)
+    nseg = nbk
     b_w = jax.ops.segment_sum(contrib, blk_id, num_segments=nseg)
     b_beg0 = jax.ops.segment_min(jnp.where(live, o1, INT32_MAX), blk_id, num_segments=nseg)
     b_end0 = jax.ops.segment_max(jnp.where(live, o1 + l1, 0), blk_id, num_segments=nseg)
@@ -511,11 +523,11 @@ def dot_matrix_align(
     sw = jnp.where(s1 < BIGP, INT32_MAX - s2, 0)
     srow_new = jnp.concatenate([jnp.ones(1, bool), s1[1:] != s1[:-1]]) & (s1 < BIGP)
     row_of = jnp.cumsum(srow_new.astype(jnp.int32)) - 1  # dense row index
-    pos = jnp.arange(PB, dtype=jnp.int32)
-    row_first = jnp.full(nseg + 1, 0, jnp.int32).at[
-        jnp.where(srow_new, row_of, nseg)
-    ].set(pos, mode="drop")[:nseg]
-    col = pos - row_first[jnp.clip(row_of, 0, nseg - 1)]
+    pos = jnp.arange(nseg, dtype=jnp.int32)
+    row_first = jnp.full(n_pairs + 1, 0, jnp.int32).at[
+        jnp.where(srow_new & (row_of < n_pairs), row_of, n_pairs)
+    ].set(pos, mode="drop")[:n_pairs]
+    col = pos - row_first[jnp.clip(row_of, 0, n_pairs - 1)]
     ok = (s1 < BIGP) & (col < nb) & (row_of < n_pairs)
     r = jnp.where(ok, row_of, n_pairs)
     c = jnp.where(ok, col, 0)
@@ -631,6 +643,7 @@ def dot_matrix_align(
     qe_ = jnp.max(jnp.where(mark, D_e1, 0), axis=1)
     return DotMatrixResult(
         match_cnt=match_cnt,
+        blk_total=blk_total,
         pair_id=D_pid, score=score, tb=tb_, te=te_, qb=qb_, qe=qe_,
         blk_b0=D_b0, blk_e0=D_e0, blk_b1=D_b1, blk_e1=D_e1, blk_on=mark,
     )

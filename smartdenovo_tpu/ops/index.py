@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..data.readbank import ReadBank
 from ..utils.log import log
-from .seeds import extract_seeds, subsample_mask
+from .seeds import extract_seeds, subsample_mask, compact_seed_batch
 
 
 def _length_batches(rb: ReadBank, target_elems: int = 1 << 24):
@@ -90,14 +90,15 @@ def build_kmer_index(
         rids, lens_mask = _pad_rids(rids, batch_elems // Lp)
         batch, lens = rb.batch(rids, pad_to=Lp)
         lens = lens * lens_mask
-        res = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), ksize, hz)
-        keep = np.asarray(res["valid"] & subsample_mask(res["kmer"], ksave))
-        km = np.asarray(res["kmer"])[keep]
-        dr = np.asarray(res["dir"])[keep]
-        rd = np.broadcast_to(rids[:, None], keep.shape)[keep]
+        kc, aux, total = compact_seed_batch(
+            jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(rids, jnp.int32),
+            ksize, hz, ksave)
+        t = int(total)  # transfer only the live prefix through the tunnel
+        km = np.asarray(kc[:t])
+        ax = np.asarray(aux[:t])
         ks.append(km)
-        rds.append(rd.astype(np.int32))
-        dirs.append(dr.astype(np.int8))
+        rds.append((ax >> 1).astype(np.int32))
+        dirs.append((ax & 1).astype(np.int8))
     kmers = np.concatenate(ks) if ks else np.zeros(0, np.uint32)
     post_rd = np.concatenate(rds) if rds else np.zeros(0, np.int32)
     post_dir = np.concatenate(dirs) if dirs else np.zeros(0, np.int8)
@@ -181,13 +182,16 @@ def build_zmer_index(
         rids, lens_mask = _pad_rids(rids, batch_elems // Lp)
         batch, lens = rb.batch(rids, pad_to=Lp)
         lens = lens * lens_mask
-        res = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), zsize, hz)
-        keep = np.asarray(res["valid"])
-        zs.append(np.asarray(res["kmer"])[keep])
-        dirs.append(np.asarray(res["dir"])[keep].astype(np.int8))
-        offs.append(np.asarray(res["off"])[keep].astype(np.int32))
-        spans.append(np.asarray(res["span"])[keep].astype(np.int32))
-        rds.append(np.broadcast_to(rids[:, None], keep.shape)[keep].astype(np.int32))
+        kc, aux, rdc, total = compact_seed_batch(
+            jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(rids, jnp.int32),
+            zsize, hz, 0, with_pos=True)
+        t = int(total)  # transfer only the live prefix through the tunnel
+        ax = np.asarray(aux[:t])
+        zs.append(np.asarray(kc[:t]))
+        dirs.append((ax & 1).astype(np.int8))
+        offs.append((ax >> 9).astype(np.int32))
+        spans.append(((ax >> 1) & 0xFF).astype(np.int32))
+        rds.append(np.asarray(rdc[:t]))
     zmers = np.concatenate(zs) if zs else np.zeros(0, np.uint32)
     post_rd = np.concatenate(rds) if rds else np.zeros(0, np.int32)
     post_dir = np.concatenate(dirs) if dirs else np.zeros(0, np.int8)

@@ -216,3 +216,45 @@ def np_jenkins_u32(key):
     key = key + (key << np.uint32(7))
     key ^= key >> np.uint32(12)
     return key
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "hz", "ksave", "with_pos"))
+def compact_seed_batch(batch, lengths, rids, ksize: int, hz: bool = True,
+                       ksave: int = 0, with_pos: bool = False):
+    """Extract seeds and compact the valid ones to the front of flat arrays.
+
+    Index builds fetch seeds to the host; the dense [B, L] layout is ~90%
+    padding and device->host transfers through the remote tunnel are slow,
+    so compaction happens on device and callers transfer only [:total].
+
+    Returns (kmer [B*L] uint32, aux [B*L] int32, total) where aux packs
+    rd<<1|dir (with_pos=False) or off<<9|span<<1|dir (with_pos=True, rd
+    returned as a third array).
+    """
+    res = extract_seeds(batch, lengths, ksize, hz)
+    valid = res["valid"]
+    if ksave > 1:
+        valid = valid & subsample_mask(res["kmer"], ksave)
+    B, L = valid.shape
+    N = B * L
+    v = valid.reshape(-1)
+    dst = jnp.cumsum(v.astype(jnp.int32)) - 1
+    total = dst[-1] + 1
+    dst = jnp.where(v, dst, N)
+
+    def scat(vals, dtype=jnp.int32):
+        return (
+            jnp.zeros(N + 1, dtype)
+            .at[dst]
+            .set(vals.reshape(-1).astype(dtype), mode="drop")[:N]
+        )
+
+    rd_of = jnp.broadcast_to(rids[:, None].astype(jnp.int32), (B, L))
+    d = res["dir"].astype(jnp.int32)
+    kc = scat(res["kmer"], jnp.uint32)
+    if with_pos:
+        aux = (res["off"].astype(jnp.int32) << 9) | (
+            jnp.minimum(res["span"], 255).astype(jnp.int32) << 1) | d
+        return kc, scat(aux), scat(rd_of), total
+    aux = (rd_of << 1) | d
+    return kc, scat(aux), total

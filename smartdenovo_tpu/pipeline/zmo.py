@@ -210,11 +210,12 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     mb_bound = min(mb_bound, 1 << 26)
     exp_hist = [mb_bound // 4]   # observed candidate-entry totals
     pair_hist = [mb_bound // 8]  # observed match totals; sizes the pair budget
+    blk_hist = [mb_bound // 32]  # observed dot-matrix block totals
     # one length tier for the whole run: reads are length-sorted desc, so
     # rb.lengths[0] is the maximum — a single compile per kernel
     Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
 
-    def dispatch(b0, pbud_override=None, mb_override=None):
+    def dispatch(b0, pbud_override=None, mb_override=None, nbk_override=None):
         real = np.arange(b0, min(n, b0 + Q))
         rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
         batch, lens = rb.batch(rids, pad_to=Ltier)
@@ -293,17 +294,24 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             .astype(jnp.int32).reshape(-1), 2
         )
         qlen_of_pair = jnp.repeat(jnp.asarray(lens.astype(np.int32)), Adm * 2)
+        if nbk_override is not None:
+            nbk = nbk_override
+        else:
+            nbk = max(1 << 16, 1 << int(np.ceil(np.log2(int(max(blk_hist) * 1.3) + 1024))))
+            nbk = min(nbk, pbud)
         res = dot_matrix_align(
             pairs, qlen_of_pair, clen_of_pair,
             n_pairs=Q * Adm * 2, nb=p.nb,
             xvar=p.xvar, yvar=p.yvar, min_block_len=p.min_block_len,
             max_overhang=p.max_overhang,
             deviation_penalty=p.deviation_penalty, gap_penalty=p.gap_penalty,
+            nbk=nbk,
         )
         _prof("dotmx", res.score)
         out = dict(rids=rids, lens=lens, cands=cands_dm, csorted=csorted_d,
                    match_cnt=res.match_cnt, total=pairs.total,
                    expand_total=pairs.expand_total, ebud=ebud, pbud=pbud,
+                   nbk=nbk, blk_total=res.blk_total,
                    cbud=cbud, cand_total=cand_total, res=res, b0=b0,
                    )
         if p.engine == "sw":
@@ -322,23 +330,30 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         # the observed survivor ratio so later batches size tighter
         total = int(d["total"])
         texp = int(d["expand_total"])
+        tblk = int(d["blk_total"])
         for _ in range(4):
-            if texp <= d["ebud"] and total <= d["pbud"]:
+            if texp <= d["ebud"] and total <= d["pbud"] and tblk <= d["nbk"]:
                 break
-            # a truncated expansion also under-reports the match total, so
-            # grow both and re-verify after the redispatch
+            # a truncated buffer under-reports downstream totals, so grow
+            # every overflowing budget and re-verify after the redispatch
             newe = max(d["ebud"], 1 << int(np.ceil(np.log2(texp + 1024))))
             newp = max(min(d["pbud"] * 2, newe),
                        1 << int(np.ceil(np.log2(total + 1024))))
-            log("budget overflow (exp %d/%d, pair %d/%d): redispatching at %d/%d",
-                texp, d["ebud"], total, d["pbud"], newe, newp)
-            d = dispatch(d["b0"], pbud_override=newp, mb_override=newe)
+            newk = max(min(d["nbk"] * 2, newp),
+                       1 << int(np.ceil(np.log2(tblk + 1024))))
+            log("budget overflow (exp %d/%d, pair %d/%d, blk %d/%d): redispatch %d/%d/%d",
+                texp, d["ebud"], total, d["pbud"], tblk, d["nbk"], newe, newp, newk)
+            d = dispatch(d["b0"], pbud_override=newp, mb_override=newe,
+                         nbk_override=newk)
             total = int(d["total"])
             texp = int(d["expand_total"])
+            tblk = int(d["blk_total"])
         exp_hist.append(texp)
         del exp_hist[:-64]
         pair_hist.append(total)
         del pair_hist[:-64]
+        blk_hist.append(tblk)
+        del blk_hist[:-64]
         _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps,
                       emitted_pairs, Adm, rdmask, attempted_out)
 
