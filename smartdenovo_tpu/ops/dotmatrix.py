@@ -466,10 +466,13 @@ def dot_matrix_align(
     g1, o1, o2, l1, l2, pid = jax.lax.sort((g1, k3, o2, l1, l2, k1), num_keys=2)
     live = g1 < INT32_MAX
     prev_end1 = jnp.concatenate([jnp.zeros(1, jnp.int32), (o1 + l1)[:-1]])
-    blk_new = jnp.concatenate([jnp.ones(1, bool), g1[1:] != g1[:-1]]) | (
-        o1 > prev_end1 + xvar
+    # only live elements open blocks — dead (padded) elements must not
+    # inflate the block count past the compact budget
+    blk_new = live & (
+        jnp.concatenate([jnp.ones(1, bool), g1[1:] != g1[:-1]])
+        | (o1 > prev_end1 + xvar)
     )
-    blk_id = jnp.cumsum(blk_new.astype(jnp.int32)) - 1
+    blk_id = jnp.maximum(jnp.cumsum(blk_new.astype(jnp.int32)) - 1, 0)
     blk_total = blk_id[-1] + 1
     contrib = jnp.where(blk_new, l1, (o1 + l1) - prev_end1)
     contrib = jnp.where(live, contrib, 0)
@@ -503,10 +506,11 @@ def dot_matrix_align(
     )
     hlive = h1 < INT32_MAX
     prev_he0 = jnp.concatenate([jnp.zeros(1, jnp.int32), he0[:-1]])
-    w_new = jnp.concatenate([jnp.ones(1, bool), h1[1:] != h1[:-1]]) | (
-        hb0 > prev_he0 + xvar
+    w_new = hlive & (
+        jnp.concatenate([jnp.ones(1, bool), h1[1:] != h1[:-1]])
+        | (hb0 > prev_he0 + xvar)
     )
-    w_id = jnp.cumsum(w_new.astype(jnp.int32)) - 1
+    w_id = jnp.maximum(jnp.cumsum(w_new.astype(jnp.int32)) - 1, 0)
     W_w = jax.ops.segment_sum(jnp.where(hlive, hw, 0), w_id, num_segments=nseg)
     W_b0 = jax.ops.segment_min(jnp.where(hlive, hb0, INT32_MAX), w_id, num_segments=nseg)
     W_e0 = jax.ops.segment_max(jnp.where(hlive, he0, 0), w_id, num_segments=nseg)
