@@ -41,6 +41,10 @@ def _add_zmo(sub):
     q.add_argument("-A", "--ncand", type=int, default=1000)
     q.add_argument("-J", "--min-len", type=int, default=0)
     q.add_argument("--batch-q", type=int, default=16)
+    q.add_argument("-P", "--parts", type=int, default=1,
+                   help="split queries across P nodes (reference -P)")
+    q.add_argument("-p", "--part", type=int, default=0,
+                   help="this node's part index (reference -p)")
 
 
 def _add_clp(sub):
@@ -109,6 +113,10 @@ def _add_asm(sub):
     q.add_argument("-c", "--consensus", type=int, default=0)
     q.add_argument("--cns-engine", choices=("dag", "poa"), default="dag")
     q.add_argument("--batch-q", type=int, default=16)
+    q.add_argument("-P", "--parts", type=int, default=1,
+                   help="split queries across P nodes (reference -P)")
+    q.add_argument("-p", "--part", type=int, default=0,
+                   help="this node's part index (reference -p)")
 
 
 def main(argv=None):
@@ -136,7 +144,7 @@ def main(argv=None):
                           max_zmer_freq=args.zmax, min_id=args.min_id,
                           min_score=args.min_score, ncand=args.ncand,
                           batch_q=args.batch_q)
-        ovls = overlap_dmo(rb, p)
+        ovls = overlap_dmo(rb, p, parts=args.parts, part=args.part)
         write_overlaps(args.output, rb, ovls)
         return 0
 

@@ -160,7 +160,8 @@ class Overlap:
 
 
 def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True,
-                preattempted=None, attempted_out: list | None = None):
+                preattempted=None, attempted_out: list | None = None,
+                parts: int = 1, part: int = 0):
     """Run the dot-matrix all-vs-all overlapper.  Returns list[Overlap].
 
     Device work is dispatched asynchronously one batch ahead of the host
@@ -171,6 +172,12 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     preattempted: iterable of (name1, name2) pairs to skip (the reference's
     -L ledger, wtzmo.c:1758-1773).  attempted_out: if a list is passed,
     every attempted pair is appended as (name1, name2) (the -9 ledger).
+
+    parts/part mirror the reference's -P/-p multi-node split (wtzmo
+    usage, README-tools.md:112-117): this invocation overlaps only the
+    query reads with index % parts == part against the FULL index; run
+    one part per node and concatenate the outputs (duplicates dedup at
+    load, as with the reference).
     """
     p = params or ZmoParams.dmo()
     n = len(rb)
@@ -216,7 +223,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
 
     def dispatch(b0, pbud_override=None, mb_override=None, nbk_override=None):
-        real = np.arange(b0, min(n, b0 + Q))
+        real = qarr[b0 : min(len(qarr), b0 + Q)]
         rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
         batch, lens = rb.batch(rids, pad_to=Ltier)
         _prof("host_batch")
@@ -357,8 +364,9 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps,
                       emitted_pairs, Adm, rdmask, attempted_out)
 
+    qarr = np.arange(n) if parts <= 1 else np.arange(n)[part::parts]
     pending = None
-    for b0 in range(0, n, Q):
+    for b0 in range(0, len(qarr), Q):
         _prof("_start")
         nxt = dispatch(b0)
         _prof("_start")
@@ -367,7 +375,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         _prof("finish")
         pending = nxt
         if progress and (b0 // Q) % 8 == 0:
-            log("overlapped %d/%d reads, %d overlaps", min(n, b0 + Q), n, len(overlaps))
+            log("overlapped %d/%d reads, %d overlaps", min(len(qarr), b0 + Q), len(qarr), len(overlaps))
     if pending is not None:
         settle(pending)
     log("overlap done: %d overlaps", len(overlaps))
