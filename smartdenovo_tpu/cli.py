@@ -113,10 +113,6 @@ def _add_asm(sub):
     q.add_argument("-c", "--consensus", type=int, default=0)
     q.add_argument("--cns-engine", choices=("dag", "poa"), default="dag")
     q.add_argument("--batch-q", type=int, default=16)
-    q.add_argument("-P", "--parts", type=int, default=1,
-                   help="split queries across P nodes (reference -P)")
-    q.add_argument("-p", "--part", type=int, default=0,
-                   help="this node's part index (reference -p)")
 
 
 def main(argv=None):
