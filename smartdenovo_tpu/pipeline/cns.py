@@ -69,11 +69,20 @@ class LayUnitig:
 
 
 def units_from_graph(graph) -> list[LayUnitig]:
-    """Extract consensus jobs from an in-memory StringGraph (post layout)."""
+    """Extract consensus jobs from an in-memory StringGraph (post layout).
+
+    Contained reads are recruited around their containers exactly as the
+    .lay file path does (wtlay.c:2468-2497) — they carry most of the
+    coverage, and consensus without them runs at tiling depth (~2-3x)
+    instead of read depth.
+    """
     units = []
     for i, lay in enumerate(graph.lays):
         if len(lay) < 4:
             continue
+        lay = list(lay)
+        if not any(e[5] for e in lay):  # not already recruited (output_layout)
+            graph._recurit_contained(lay)
         reads, offs, bflags = [], [], []
         for nid, dir, fwd, bwd, off, cont in lay:
             codes = graph.rb.get(nid)

@@ -21,10 +21,14 @@ def mutate_read(rng: np.random.Generator, seq: np.ndarray, err: float,
     """Apply a PacBio-like error profile.
 
     Raw PacBio/ONT errors are indel-dominated and strongly homopolymer-
-    biased — most insertions duplicate the previous base and most deletions
-    shorten homopolymer runs.  This is exactly why the reference assembler
-    indexes homopolymer-compressed k-mers (SURVEY.md §5.7); a simulator with
-    uniform random indels would make hpc seeding unrealistically hard.
+    biased — most length errors extend or shorten homopolymer runs.  This
+    is exactly why the reference assembler indexes homopolymer-compressed
+    k-mers (SURVEY.md §5.7); a simulator with uniform random indels would
+    make hpc seeding unrealistically hard.  Within a run the extend/shrink
+    choice is a fair coin: aggregated over reads the observed run length
+    is mode-centred on the true length (as on real instruments) — a
+    one-sided model makes the majority read vote systematically +1, which
+    no consensus algorithm can undo.
     """
     if err <= 0:
         return seq.copy()
@@ -34,6 +38,7 @@ def mutate_read(rng: np.random.Generator, seq: np.ndarray, err: float,
     p_del = err * del_frac
     r = rng.random(n)
     hp = rng.random(n) < hp_bias
+    coin = rng.random(n) < 0.5  # fair extend/shrink choice inside runs
     ins_bases = rng.integers(0, 4, size=n, dtype=np.int64)
     sub_shift = rng.integers(1, 4, size=n, dtype=np.int64)
     out = []
@@ -41,19 +46,22 @@ def mutate_read(rng: np.random.Generator, seq: np.ndarray, err: float,
     for j in range(n):
         c = int(seq[j])
         x = r[j]
-        if x < p_del:
-            # homopolymer-biased deletion: only delete inside a run
-            if hp[j]:
+        indel = x < p_del + p_ins
+        if indel and hp[j]:
+            # homopolymer length noise, symmetric extend/shrink
+            if coin[j]:
+                out.append(c)
+                out.append(c)
+                prev = c
+            else:
                 if c == prev:
                     continue
                 out.append(c)
                 prev = c
-            else:
-                continue
-        elif x < p_del + p_ins:
-            # homopolymer-biased insertion: duplicate the current base
-            ins = c if hp[j] else int(ins_bases[j])
-            out.append(ins)
+        elif x < p_del:
+            continue
+        elif indel:
+            out.append(int(ins_bases[j]))
             out.append(c)
             prev = c
         elif x < p_del + p_ins + p_sub:
