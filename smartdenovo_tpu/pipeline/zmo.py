@@ -113,6 +113,9 @@ class ZmoParams:
     sw_gap: int = -3          # -O
     band_w: int = 256         # band width around the chain diagonal
     align_cap: int = 64       # chains aligned per query per batch (SW engine)
+    emit_cigar: bool = False  # attach real CIGARs to SW overlaps (the
+                              # reference pipeline drops col 17 via cut -f1-16,
+                              # so this costs extra device work only on demand)
 
     @classmethod
     def dmo(cls, **kw) -> "ZmoParams":
@@ -326,7 +329,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
                 res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
                 csorted_d, jnp.asarray(batch), jnp.asarray(lens),
                 flat_bases, read_offs, read_lens,
-                Q=Q, A=Adm, C=p.align_cap, Ltier=Ltier, W=p.band_w,
+                Q=Q, A=Adm, C=min(p.align_cap, Adm), Ltier=Ltier, W=p.band_w,
                 match=p.sw_match, mismatch=p.sw_mismatch, gap=p.sw_gap,
             )
         return out
@@ -504,6 +507,7 @@ def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdma
     bb = np.asarray(sw.beg_b)
     eb = np.asarray(sw.end_b)
     attempted_now: set[tuple[int, int]] = set()
+    n_before = len(overlaps)
     hits = []
     for i in range(len(q_l)):
         c = int(cand[i])
@@ -545,10 +549,71 @@ def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdma
         # contained candidate (skip_contained, max_unalign_in_contained=0)
         if rdmask is not None and qb <= 0 and qe >= clen:
             rdmask[c] = True
+    n_new = len(overlaps) - n_before
     for qrid, c in attempted_now:
         attempted_by[c].append(qrid)
         if attempted_out is not None:
             attempted_out.append((rb.names[qrid], rb.names[c]))
+    if p.emit_cigar and n_new:
+        _attach_cigars(rb, p, overlaps[-n_new:])
+
+
+def _attach_cigars(rb, p, ovls):
+    """Fill Overlap.cigar/mis/ins/dl with a traceback banded alignment of
+    the accepted overlap segments (reference kswx CIGARs, wtzmo.c SW mode).
+
+    Runs only on accepted overlaps — the reference pipeline itself drops
+    CIGARs (`cut -f1-16`, smartdenovo.pl), so this is opt-in."""
+    import jax.numpy as jnp
+
+    from ..data.readbank import revcomp_codes
+    from ..ops.banded import banded_align, make_band_centers, traceback_banded
+    from ..ops.swdp import align_strings
+
+    if not ovls:
+        return
+    segs = []
+    for ov in ovls:
+        qa = rb.get(ov.rid1)[ov.beg1:ov.end1]
+        cb = rb.get(ov.rid2)
+        if ov.dir2:
+            cb = revcomp_codes(cb)
+        segs.append((qa, cb[ov.beg2:ov.end2]))
+    LA = _pad_tier(max(len(a) for a, _ in segs))
+    LB = max(len(b) for _, b in segs)
+    B = len(segs)
+    a = np.full((B, LA), 4, np.uint8)
+    b = np.full((B, LB), 4, np.uint8)
+    alen = np.zeros(B, np.int32)
+    blen = np.zeros(B, np.int32)
+    anchors = []
+    for i, (qa, cb) in enumerate(segs):
+        a[i, : len(qa)] = qa
+        b[i, : len(cb)] = cb
+        alen[i] = len(qa)
+        blen[i] = len(cb)
+        anchors.append([(0, 0), (len(qa), len(cb))])
+    base = make_band_centers(anchors, alen, blen, LA, p.band_w)
+    score, end_col, dirs = banded_align(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen), jnp.asarray(blen),
+        jnp.asarray(base), LA=LA, W=p.band_w,
+        match=p.sw_match, mismatch=p.sw_mismatch, gap=p.sw_gap,
+        semiglobal_b=True,
+    )
+    cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen, np.asarray(end_col))
+    for i, ov in enumerate(ovls):
+        ops, counts = cigs[i]
+        if not ops:
+            continue
+        ra, rb_ = align_strings(a[i], b[i][int(b_begs[i]):], ops, counts)
+        both = (ra != 4) & (rb_ != 4)
+        ov.mat = int(np.sum(both & (ra == rb_)))
+        ov.mis = int(np.sum(both & (ra != rb_)))
+        ov.ins = int(np.sum((ra != 4) & (rb_ == 4)))
+        ov.dl = int(np.sum((ra == 4) & (rb_ != 4)))
+        ov.aln = int(ra.shape[0])
+        ov.identity = ov.mat / max(1, ov.aln)
+        ov.cigar = "".join(f"{int(c)}{o}" for o, c in zip(ops, counts))
 
 
 def overlap_reads(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True,
