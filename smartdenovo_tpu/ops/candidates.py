@@ -53,7 +53,7 @@ def _binary_search_rows(table: jnp.ndarray, row_ids: jnp.ndarray, values: jnp.nd
 
 
 @functools.partial(
-    jax.jit, static_argnames=("budget", "ncand", "kovl", "len_ratio")
+    jax.jit, static_argnames=("budget", "ncand", "kovl", "len_ratio", "probe_budget")
 )
 def scan_candidates(
     qkmer: jnp.ndarray,   # [Q, L] uint32 canonical kmers (compressed-pos space)
@@ -74,22 +74,56 @@ def scan_candidates(
     ncand: int,
     kovl: int,
     len_ratio: float = 1.2,
+    probe_budget: int = 0,   # 0 = no probe compaction (Q*L probes)
 ):
-    """Returns (cands [Q, ncand] int32 (-1 pad, ol-desc order), ols [Q, ncand] int32)."""
+    """Returns (cands [Q, ncand] int32 (-1 pad, ol-desc order), ols [Q, ncand],
+    total expansion, total probes)."""
     Q, L = qkmer.shape
-    flat_k = qkmer.reshape(-1)
+    q_row = (jnp.arange(Q * L, dtype=jnp.int32) // L).astype(jnp.int32)
+    # skipped queries (nbest early stop / batch padding) must not consume
+    # expansion budget — the budget is sized from live queries only
+    pvalid = qvalid.reshape(-1) & ~qskip[q_row]
+    if probe_budget:
+        # compact live probes to a tight width before the index search —
+        # padded [Q, L] rows are ~90% dead and searchsorted/expansion cost
+        # scales with probe width
+        K = probe_budget
+        pdst = jnp.cumsum(pvalid.astype(jnp.int32)) - 1
+        probe_total = pdst[-1] + 1
+        pdst = jnp.where(pvalid, pdst, Q * L)
+
+        def pcompact(v, fill):
+            return (
+                jnp.full(K + 1, fill, v.dtype)
+                .at[jnp.minimum(pdst, K)]
+                .set(v, mode="drop")[:K]
+            )
+
+        flat_k = pcompact(qkmer.reshape(-1), jnp.uint32(0xFFFFFFFF))
+        p_q = pcompact(q_row, jnp.int32(Q))
+        p_off = pcompact(qoff.reshape(-1), jnp.int32(0))
+        p_span = pcompact(qspan.reshape(-1), jnp.int32(0))
+        p_live = (jnp.arange(K) < probe_total) & (p_q < Q)
+    else:
+        K = Q * L
+        flat_k = qkmer.reshape(-1)
+        p_q = q_row
+        p_off = qoff.reshape(-1)
+        p_span = qspan.reshape(-1)
+        p_live = pvalid
+        probe_total = jnp.int32(K)
     start = jnp.searchsorted(idx_kmers, flat_k, side="left").astype(jnp.int32)
     end = jnp.searchsorted(idx_kmers, flat_k, side="right").astype(jnp.int32)
-    cnt = jnp.where(qvalid.reshape(-1), end - start, 0)
+    cnt = jnp.where(p_live, end - start, 0)
     # fixed-budget expansion of posting ranges (sorted scatter + cummax,
     # avoiding slow per-slot binary search)
     from .flatops import expand_ranges
 
     src_c, within, alive, total = expand_ranges(cnt, budget)
     pidx = jnp.clip(start[src_c] + within, 0, post_rd.shape[0] - 1)
-    q_local = (src_c // L).astype(jnp.int32)
-    qpos = qoff.reshape(-1)[src_c]
-    span = qspan.reshape(-1)[src_c]
+    q_local = jnp.clip(p_q[src_c], 0, Q - 1)
+    qpos = p_off[src_c]
+    span = p_span[src_c]
     cand = post_rd[pidx]
     cdir = post_dir[pidx].astype(jnp.int32)
     # filters
@@ -152,4 +186,4 @@ def scan_candidates(
         .at[row, col]
         .set(INT32_MAX - s2, mode="drop")[:Q]
     )
-    return cands, ols, total
+    return cands, ols, total, probe_total

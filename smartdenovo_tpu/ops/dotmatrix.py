@@ -48,24 +48,6 @@ class PairBatch(NamedTuple):
     expand_total: jnp.ndarray  # scalar: posting expansion size before budget
 
 
-def _lex_lower_bound(zmers, post_rd, z, rd):
-    """Lower bound of (z, rd) in postings sorted by (zmer, rd); manual bisect."""
-    P = zmers.shape[0]
-    steps = max(1, P.bit_length())
-    lo = jnp.zeros(z.shape, jnp.int32)
-    hi = jnp.full(z.shape, P, jnp.int32)
-    for _ in range(steps + 1):
-        mid = (lo + hi) >> 1
-        midc = jnp.clip(mid, 0, P - 1)
-        zm = zmers[midc]
-        rm = post_rd[midc]
-        less = (zm < z) | ((zm == z) & (rm < rd))
-        go = less & (mid < hi)
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, jnp.where(mid < hi, mid, hi))
-    return lo
-
-
 def _search_rows_pos(table, row_ids, values):
     """Position of value in per-row sorted table [Q, A]; returns (pos, found)."""
     A = table.shape[1]
@@ -226,7 +208,8 @@ def extract_zmer_pairs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("expand_budget", "pair_budget", "kvar", "zbits", "max_per_read"),
+    static_argnames=("expand_budget", "pair_budget", "kvar", "zbits",
+                     "max_per_read", "qprobe_budget"),
 )
 def extract_zmer_pairs_join(
     qz: jnp.ndarray,     # [Q, L] uint32 query zmers
@@ -245,6 +228,7 @@ def extract_zmer_pairs_join(
     kvar: int = 2,
     zbits: int = 20,      # 2*zsize
     max_per_read: int = 16,
+    qprobe_budget: int = 0,   # 0 = no query-side compaction (Q*L wide)
 ) -> PairBatch:
     """Per-pair z-mer intersection via one global sort (scalable matcher).
 
@@ -303,17 +287,33 @@ def extract_zmer_pairs_join(
     q1 = src1c // A
 
     # ---- phase 2: global sort join -----------------------------------
-    qpk = (
+    qpk0 = (
         (qoff.reshape(-1).astype(jnp.int32) << 9)
         | (jnp.minimum(qspan.reshape(-1), 255).astype(jnp.int32) << 1)
         | qdir.reshape(-1).astype(jnp.int32)
     )
-    q_of = (jnp.arange(Q * L, dtype=jnp.int32) // L).astype(jnp.int32)
-    qkey = jnp.where(
-        qvalid.reshape(-1),
-        (q_of << (zbits + 1)) | (qz.reshape(-1).astype(jnp.int32) << 1),
-        SENT,
-    )
+    q_of0 = (jnp.arange(Q * L, dtype=jnp.int32) // L).astype(jnp.int32)
+    qv0 = qvalid.reshape(-1)
+    if qprobe_budget:
+        # compact live query zmers to a tight width — padded rows are
+        # mostly dead and the join sort pays the full query width
+        QK = qprobe_budget
+        qdst = jnp.cumsum(qv0.astype(jnp.int32)) - 1
+        qdst = jnp.where(qv0, jnp.minimum(qdst, QK), QK)
+        qpk = jnp.zeros(QK + 1, jnp.int32).at[qdst].set(qpk0, mode="drop")[:QK]
+        q_of = jnp.full(QK + 1, Q, jnp.int32).at[qdst].set(q_of0, mode="drop")[:QK]
+        qzc = jnp.zeros(QK + 1, jnp.int32).at[qdst].set(
+            qz.reshape(-1).astype(jnp.int32), mode="drop")[:QK]
+        qkey = jnp.where(q_of < Q, (q_of << (zbits + 1)) | (qzc << 1), SENT)
+        NQ = QK
+    else:
+        qpk = qpk0
+        qkey = jnp.where(
+            qv0,
+            (q_of0 << (zbits + 1)) | (qz.reshape(-1).astype(jnp.int32) << 1),
+            SENT,
+        )
+        NQ = Q * L
     ckey = jnp.where(
         alive1,
         (q1 << (zbits + 1)) | ((zsd >> 9) << 1) | 1,
@@ -323,7 +323,7 @@ def extract_zmer_pairs_join(
     # their posting index; aux: candidate (query*A + slot) pair row
     key = jnp.concatenate([qkey, ckey])
     pay = jnp.concatenate([qpk, pidx])
-    aux = jnp.concatenate([jnp.zeros(Q * L, jnp.int32), src1c])
+    aux = jnp.concatenate([jnp.zeros(NQ, jnp.int32), src1c])
     key, pay, aux = jax.lax.sort((key, pay, aux), num_keys=1)
     svalid = key != SENT
     tag1 = svalid & ((key & 1) == 1)

@@ -6,7 +6,7 @@ upgrading near-dovetail overlaps to full dovetails before trimming.
 Here each overlap pair is re-aligned with the SW engine's banded local
 DP (z-mer chain anchors + forward/reverse passes), which extends to the
 optimal end cells by construction; records gain the extended coordinates
-and DP score/识别.
+and DP score/identity.
 """
 
 from __future__ import annotations

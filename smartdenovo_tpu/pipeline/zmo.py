@@ -5,58 +5,47 @@ z-mer seed-pair extraction, batched dot-matrix chaining on device, and
 17-column overlap TSV emission (reference wtzmo.c; output format
 README-tools.md:119-139).
 
-Scheduling model (deterministic replacement for the reference's thread
-pool + closed_alns ledger, wtzmo.c:1309-1334, 813-820): reads are
-processed in strict (length desc, name asc) order in fixed batches; a
-pair is attempted once, by the earlier query; the attempted-pair ledger
-drives candidate suppression for later queries exactly like closed_alns.
+Round-2 architecture (the round-1 version was host-sync-bound, not
+compute-bound: on the tunneled TPU each host round trip costs ~0.3 s and
+device work for the whole bench ran in ~1 s):
+
+  - the bank is uploaded once; seeds for the WHOLE bank are extracted
+    flat (ops/flatseeds.py) and both posting indexes are sorted/filtered
+    on device — one host fetch of a small stats pack;
+  - every query batch is dispatched asynchronously: one fused jit per
+    batch (candidate scan -> zmer sort-join -> dot-matrix chain) writes a
+    packed int32 row into a device accumulator; nothing syncs;
+  - budgets are fixed per run from the stats (the expansion budget is a
+    sound bound — Q x the Adm largest per-read zmer counts — so it can
+    never overflow; pair/block budgets carry overflow counters and the
+    rare overflowing batch is redispatched at the next tier);
+  - ONE fetch brings back the accumulator; emission is vectorised on
+    host with the reference's sequential semantics replayed in batch
+    order (nbest early-stop wtzmo.c:806-807, contained-read skip
+    :1320-1324, attempted-pair ledger closed_alns :813-820).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..data.readbank import ReadBank
-from ..ops.seeds import (extract_seeds, subsample_mask, np_canonical_kmers,
-                         np_jenkins_u32)
-from ..ops.index import build_kmer_index, build_zmer_index
+from ..ops.seeds import subsample_mask
+from ..ops.flatseeds import (flat_seeds, build_indexes_device,
+                             gather_query_rows, pad_pow2, FlatSeeds,
+                             DeviceIndexes)
 from ..ops.candidates import scan_candidates
-from ..ops.dotmatrix import (extract_zmer_pairs, extract_zmer_pairs_join,
-                             dot_matrix_align, PairBatch)
+from ..ops.dotmatrix import extract_zmer_pairs_join, dot_matrix_align
 from ..ops.zmo_sw import sw_align_batch
 from ..utils.log import log
 
 INT32_MAX = np.int32(0x7FFFFFFF)
-
-import os as _os
-import time as _time
-
-_PROF = _os.environ.get("SDTPU_PROF", "") == "1"
-_prof_acc: dict = {}
-
-
-def _prof(name, value=None):
-    """Accumulate phase wall-times when SDTPU_PROF=1 (forces syncs)."""
-    if not _PROF:
-        return
-    import jax
-
-    if value is not None:
-        jax.block_until_ready(value)
-    now = _time.perf_counter()
-    last = _prof_acc.get("_last")
-    if name != "_start" and last is not None:
-        _prof_acc[name] = _prof_acc.get(name, 0.0) + (now - last)
-    _prof_acc["_last"] = now
-
-
-def prof_report():
-    for k, v in sorted(_prof_acc.items()):
-        if not k.startswith("_"):
-            log("PROF %-14s %8.2fs", k, v)
 
 
 def _pad_tier(n: int, tiers=(2048, 4096, 8192, 16384, 32768, 65536)) -> int:
@@ -98,12 +87,13 @@ class ZmoParams:
     max_overhang: int = 256
     deviation_penalty: float = 1.0
     gap_penalty: float = 0.05
-    # batching / budgets (TPU shapes)
+    # batching / budgets (TPU shapes).  cand/expand/pair budgets are
+    # auto-sized from dataset stats; the legacy fields remain as caps.
     batch_q: int = 16
-    cand_budget: int = 1 << 20
-    expand_budget: int = 1 << 22        # initial guess; sized per batch
-    expand_budget_cap: int = 1 << 25    # hard memory ceiling
-    pair_budget: int = 1 << 20
+    cand_budget: int = 1 << 20          # unused (kept for API compat)
+    expand_budget: int = 1 << 22        # unused (kept for API compat)
+    expand_budget_cap: int = 1 << 26    # hard memory ceiling
+    pair_budget: int = 1 << 20          # unused (kept for API compat)
     nb: int = 32
 
     # SW (zmo) engine
@@ -162,15 +152,157 @@ class Overlap:
         )
 
 
+# ---------------------------------------------------------------------------
+# device pipeline
+# ---------------------------------------------------------------------------
+
+
+_CAND_STATICS = ("Q", "Lc", "A", "Adm", "cbud", "kq", "ksave", "kovl",
+                 "len_ratio")
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=_CAND_STATICS)
+def _cand_batch_device(candbuf, sizebuf, bi, rids, qlens, qskip,
+                       k16: FlatSeeds, didx: DeviceIndexes, read_lens,
+                       *, Q, Lc, A, Adm, cbud, kq, ksave, kovl, len_ratio):
+    """Phase 1: candidate selection for one batch.  Stores the sorted
+    top-Adm candidate table and the batch's exact phase-2 sizes."""
+    n = read_lens.shape[0]
+    qk, qoff, qspan, qdir, qvalid = gather_query_rows(k16, rids, Lc)
+    kvalid = qvalid & subsample_mask(qk, ksave)
+    sup0 = jnp.zeros((Q, 0), jnp.int32)
+    supc0 = jnp.zeros((Q,), jnp.int32)
+    cands, _ols, cand_total, probe_total = scan_candidates(
+        qk, qoff, qspan, kvalid, rids, qlens, qskip,
+        didx.k_kmers, didx.k_rd, didx.k_dir, read_lens,
+        sup0, supc0, budget=cbud, ncand=A, kovl=kovl, len_ratio=len_ratio,
+        probe_budget=kq,
+    )
+    cands_dm = cands[:, :Adm]
+    csorted = jnp.sort(
+        jnp.where(cands_dm < 0, jnp.int32(INT32_MAX), cands_dm), axis=1
+    ).astype(jnp.int32)
+    # exact zmer-expansion need of phase 2: sum of candidates' rm counts
+    c = jnp.clip(csorted, 0, n - 1)
+    zneed = jnp.sum(jnp.where(
+        csorted < n, didx.rm_start[c + 1] - didx.rm_start[c], 0))
+    candbuf = candbuf.at[bi].set(csorted.reshape(-1))
+    sizebuf = sizebuf.at[bi].set(jnp.stack([
+        zneed.astype(jnp.int32), cand_total.astype(jnp.int32),
+        probe_total.astype(jnp.int32), jnp.int32(0)]))
+    return candbuf, sizebuf
+
+
+_PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "qkb", "nb", "kvar",
+                 "zbits", "max_per_read", "xvar", "yvar", "min_block_len",
+                 "max_overhang", "deviation_penalty", "gap_penalty")
+
+
+def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
+               *, Q, Lc, Adm, mb, pb, nbk, qkb, nb, kvar, zbits,
+               max_per_read, xvar, yvar, min_block_len, max_overhang,
+               deviation_penalty, gap_penalty, **_unused):
+    n = read_lens.shape[0]
+    zk, zoff, zspan, zdir, zvalid = gather_query_rows(z10, rids, Lc)
+    pairs = extract_zmer_pairs_join(
+        zk, zdir, zoff, zspan, zvalid, csorted,
+        didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens,
+        expand_budget=mb, pair_budget=pb, kvar=kvar, zbits=zbits,
+        max_per_read=max_per_read, qprobe_budget=qkb,
+    )
+    clen_of_pair = jnp.repeat(
+        jnp.where(csorted < n, read_lens[jnp.clip(csorted, 0, n - 1)], 0)
+        .astype(jnp.int32).reshape(-1), 2)
+    qlen_of_pair = jnp.repeat(qlens.astype(jnp.int32), Adm * 2)
+    res = dot_matrix_align(
+        pairs, qlen_of_pair, clen_of_pair,
+        n_pairs=Q * Adm * 2, nb=nb, xvar=xvar, yvar=yvar,
+        min_block_len=min_block_len, max_overhang=max_overhang,
+        deviation_penalty=deviation_penalty, gap_penalty=gap_penalty, nbk=nbk,
+    )
+    totals = jnp.stack([
+        pairs.total.astype(jnp.int32), pairs.expand_total.astype(jnp.int32),
+        res.blk_total.astype(jnp.int32), jnp.int32(0),
+    ])
+    return res, totals
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=_PAIR_STATICS)
+def _pair_batch_device(acc, bi, rids, qlens, candbuf, z10, didx, read_lens,
+                       **st):
+    Q, Adm = st["Q"], st["Adm"]
+    csorted = candbuf[bi].reshape(Q, Adm)
+    res, totals = _pair_core(rids, qlens, csorted, z10, didx, read_lens, **st)
+    pack = jnp.concatenate([
+        res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
+        res.match_cnt, totals,
+    ])
+    return acc.at[bi].set(pack)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=_PAIR_STATICS + ("C", "Ltier", "W", "match", "mismatch",
+                                     "gap"),
+)
+def _sw_batch_device(acc, bi, rids, qlens, candbuf, z10, didx, read_lens,
+                     flat_bases, read_offs, *, C, Ltier, W, match, mismatch,
+                     gap, **st):
+    """SW-engine batch: dot-matrix chains then banded local DP scoring."""
+    Q, Adm = st["Q"], st["Adm"]
+    csorted = candbuf[bi].reshape(Q, Adm)
+    res, totals = _pair_core(rids, qlens, csorted, z10, didx, read_lens, **st)
+    # materialise the query batch from the flat bank (no host transfer)
+    rr = jnp.clip(rids, 0, read_lens.shape[0] - 1)
+    lanes = jnp.arange(Ltier, dtype=jnp.int32)[None, :]
+    pos = read_offs[rr][:, None] + lanes
+    inb = lanes < qlens[:, None]
+    qbatch = jnp.where(
+        inb, flat_bases[jnp.clip(pos, 0, flat_bases.shape[0] - 1)], jnp.uint8(4)
+    )
+    sw = sw_align_batch(
+        res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
+        csorted, qbatch, qlens, flat_bases, read_offs, read_lens,
+        Q=Q, A=Adm, C=C, Ltier=Ltier, W=W,
+        match=match, mismatch=mismatch, gap=gap,
+    )
+    pack = jnp.concatenate([
+        sw.cand, sw.dir, sw.chain_score, sw.score, sw.mat,
+        sw.beg_a, sw.end_a, sw.beg_b, sw.end_b, totals,
+    ])
+    return acc.at[bi].set(pack)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def _upload_bank(rb: ReadBank):
+    """Flat device copies of the bank (one h2d, power-of-two tiers)."""
+    n = len(rb)
+    total = rb.total_bases
+    T = pad_pow2(total + 1)
+    Npad = pad_pow2(n, lo=1 << 8)
+    flat = np.full(T, 4, np.uint8)
+    flat[:total] = rb.bases
+    offs = np.full(Npad + 1, total, np.int64)
+    offs[: n + 1] = rb.offsets
+    lens = np.zeros(Npad, np.int32)
+    lens[:n] = rb.lengths
+    return (jnp.asarray(flat), jnp.asarray(offs.astype(np.int32)),
+            jnp.asarray(lens), T, Npad)
+
+
 def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = True,
                 preattempted=None, attempted_out: list | None = None,
                 parts: int = 1, part: int = 0):
-    """Run the dot-matrix all-vs-all overlapper.  Returns list[Overlap].
+    """Run the all-vs-all overlapper (dm or sw engine).  Returns list[Overlap].
 
-    Device work is dispatched asynchronously one batch ahead of the host
-    post-processing (emit); the attempted-pair ledger therefore lags one
-    batch, which stays deterministic — cross-batch duplicate attempts are
-    resolved at emit time by the global emitted-pair set.
+    All device work for the run is dispatched asynchronously up front;
+    results come back in one packed fetch and host emission replays the
+    reference's sequential semantics in deterministic batch order.
 
     preattempted: iterable of (name1, name2) pairs to skip (the reference's
     -L ledger, wtzmo.c:1758-1773).  attempted_out: if a list is passed,
@@ -186,258 +318,191 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     n = len(rb)
     if n == 0:
         return []
-    kidx = build_kmer_index(rb, p.ksize, p.hz, p.ksave, p.max_kmer_freq)
-    zidx = build_zmer_index(rb, p.zsize, p.hz, p.max_zmer_freq)
-    read_lens = jnp.asarray(rb.lengths)
-    if p.engine == "sw":
-        flat_bases = jnp.asarray(rb.bases)
-        read_offs = jnp.asarray(rb.offsets.astype(np.int32))
-    avg_len = rb.avg_len()
-    rdcovs = np.zeros(n, np.int64)
-    rdmask = np.zeros(n, bool)  # contained reads (SW engine skip_contained)
-    attempted_by: list[list[int]] = [[] for _ in range(n)]
+    t0 = time.time()
+    flat_d, offs_d, lens_d, T, Npad = _upload_bank(rb)
+    k16 = flat_seeds(flat_d, offs_d, p.ksize, p.hz)
+    z10 = flat_seeds(flat_d, offs_d, p.zsize, p.hz)
+    didx = build_indexes_device(
+        k16, z10, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
+        max_zmer_freq=p.max_zmer_freq)
+    stats = np.asarray(didx.stats)                 # sync 1: index stats
+    zcnt = stats[:Npad][:n].astype(np.int64)
+    kneed = stats[Npad: 2 * Npad][:n].astype(np.int64)
+    kprobes = stats[2 * Npad: 3 * Npad][:n].astype(np.int64)
+    comp_len = stats[3 * Npad: 4 * Npad][:n].astype(np.int64)
+    max_comp = int(stats[4 * Npad])
+    if progress:
+        log("indexes: %d k16 postings (freq cutoff %d), %d zmer postings; %.1fs",
+            int(stats[4 * Npad + 2]), int(stats[4 * Npad + 1]),
+            int(zcnt.sum()), time.time() - t0)
+
+    A = p.ncand
+    Adm = min(p.dm_cand, A)
+    Q = p.batch_q
+    Lc = pad_pow2(max_comp, lo=1 << 10)
+    qarr = np.arange(n) if parts <= 1 else np.arange(n)[part::parts]
+    batches = [qarr[i: i + Q] for i in range(0, len(qarr), Q)]
+    B = len(batches)
+    Btier = pad_pow2(B, lo=8)
+    sw_engine = p.engine == "sw"
+    C = min(p.align_cap, Adm)
+    Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
+    NP = Q * Adm * 2
+    read_lens_d = jnp.asarray(rb.lengths.astype(np.int32))
+
+    def batch_inputs(rids_np):
+        rids = np.concatenate(
+            [rids_np, np.full(Q - len(rids_np), rids_np[-1], rids_np.dtype)]
+        ).astype(np.int32)
+        qskip = np.zeros(Q, bool)
+        qskip[len(rids_np):] = True
+        qlens = rb.lengths[rids].astype(np.int32)
+        return rids, qlens, qskip
+
+    # ---- phase 1: candidates (exact budgets from the stats pack) ----
+    t1 = time.time()
+    cbud = min(pad_pow2(max((int(kneed[b].sum()) for b in batches), default=1)
+                        + 1024, lo=1 << 14), p.expand_budget_cap)
+    kq = pad_pow2(max((int(kprobes[b].sum()) for b in batches), default=1)
+                  + Q, lo=1 << 12)
+    cand_static = dict(Q=Q, Lc=Lc, A=A, Adm=Adm, cbud=cbud, kq=kq,
+                       ksave=p.ksave, kovl=p.kovl, len_ratio=p.len_ratio)
+    candbuf = jnp.zeros((Btier, Q * Adm), jnp.int32)
+    sizebuf = jnp.zeros((Btier, 4), jnp.int32)
+    all_rids = []
+    for bi, b in enumerate(batches):
+        rids, qlens, qskip = batch_inputs(b)
+        all_rids.append(rids)
+        candbuf, sizebuf = _cand_batch_device(
+            candbuf, sizebuf, jnp.int32(bi), jnp.asarray(rids),
+            jnp.asarray(qlens), jnp.asarray(qskip), k16, didx, read_lens_d,
+            **cand_static)
+    sizes = np.asarray(sizebuf)                    # sync 2: phase-2 sizes
+
+    # ---- phase 2: zmer join + dot-matrix at per-batch-tier budgets ----
+    qkb = pad_pow2(max((int(comp_len[b].sum()) for b in batches), default=1)
+                   + Q, lo=1 << 12)
+    pair_static = dict(
+        Q=Q, Lc=Lc, Adm=Adm, qkb=qkb, nb=p.nb, kvar=p.kvar,
+        zbits=2 * p.zsize, max_per_read=p.max_zmer_freq, xvar=p.xvar,
+        yvar=p.yvar, min_block_len=p.min_block_len,
+        max_overhang=p.max_overhang, deviation_penalty=p.deviation_penalty,
+        gap_penalty=p.gap_penalty,
+    )
+    if sw_engine:
+        pair_static.update(C=C, Ltier=Ltier, W=p.band_w, match=p.sw_match,
+                           mismatch=p.sw_mismatch, gap=p.sw_gap)
+    K = (9 * Q * C + 4) if sw_engine else (7 * NP + 4)
+    acc = jnp.zeros((Btier, K), jnp.int32)
+
+    def pair_budgets(zneed):
+        mb = min(pad_pow2(int(zneed) + 1024, lo=1 << 14), p.expand_budget_cap)
+        return dict(mb=mb, pb=mb, nbk=max(mb // 4, 1 << 14))
+
+    def dispatch_pair(acc, bi, rids, qlens, st):
+        args = (acc, jnp.int32(bi), jnp.asarray(rids), jnp.asarray(qlens),
+                candbuf, z10, didx, read_lens_d)
+        if sw_engine:
+            return _sw_batch_device(*args, flat_d, offs_d, **st)
+        return _pair_batch_device(*args, **st)
+
+    batch_static = []
+    for bi, b in enumerate(batches):
+        st = {**pair_static, **pair_budgets(sizes[bi, 0])}
+        batch_static.append(st)
+        acc = dispatch_pair(acc, bi, all_rids[bi],
+                            rb.lengths[all_rids[bi]].astype(np.int32), st)
+    packs = np.asarray(acc)                        # sync 3: results
+    csorted_all = np.asarray(candbuf)              # sync 4: candidate tables
+    if progress:
+        log("overlap device pipeline: %d batches in %.1fs", B, time.time() - t1)
+
+    # ---- overflow redispatch (rare; overflowing budgets grow to fit) ----
+    for bi in range(B):
+        st2 = dict(batch_static[bi])
+        for _attempt in range(4):
+            ptot, etot, btot, _ = (int(x) for x in packs[bi, -4:])
+            ov = {}
+            if etot > st2["mb"]:
+                ov["mb"] = min(pad_pow2(etot + 1024), p.expand_budget_cap)
+            if ptot > st2["pb"]:
+                ov["pb"] = pad_pow2(ptot + 1024)
+            if btot > st2["nbk"]:
+                ov["nbk"] = pad_pow2(btot + 1024)
+            if not ov:
+                break
+            st2.update(ov)
+            log("budget overflow batch %d (pair %d expand %d blk %d): redispatch",
+                bi, ptot, etot, btot)
+            tmp = jnp.zeros((1, K), jnp.int32)
+            tmp = dispatch_pair(tmp, 0, all_rids[bi],
+                                rb.lengths[all_rids[bi]].astype(np.int32), st2)
+            packs[bi] = np.asarray(tmp)[0]
+
+    # ---- host emission (sequential reference semantics) ----
+    overlaps: list[Overlap] = []
+    emitted_pairs: set[tuple[int, int]] = set()
+    pre_pairs: set[tuple[int, int]] = set()
     if preattempted:
         for n1, n2 in preattempted:
             i1 = rb.name2id.get(n1)
             i2 = rb.name2id.get(n2)
             if i1 is None or i2 is None:
                 continue
-            attempted_by[i1].append(i2)
-            attempted_by[i2].append(i1)
-    overlaps: list[Overlap] = []
-    emitted_pairs: set[tuple[int, int]] = set()
-    A = p.ncand
-    Adm = min(p.dm_cand, A)
-    Q = p.batch_q
-    # pair-budget sizing: survivors of the candidate slot filter as a
-    # fraction of the expansion; self-tunes from completed batches, with an
-    # overflow redispatch as the safety net (silent truncation loses pairs)
-    # candidate-entry budget for the sort-join matcher.  Sound upper bound:
-    # Q * (sum of the Adm largest per-read zmer counts); start at half and
-    # self-tune from observed totals, with an overflow redispatch.
-    mb_bound = int(Q * zidx.np_top_z[:Adm].sum()) if len(zidx.np_top_z) else 1 << 18
-    mb_bound = max(1 << 18, 1 << int(np.ceil(np.log2(mb_bound + 1024))))
-    mb_bound = min(mb_bound, 1 << 26)
-    exp_hist = [mb_bound // 4]   # observed candidate-entry totals
-    pair_hist = [mb_bound // 8]  # observed match totals; sizes the pair budget
-    blk_hist = [mb_bound // 32]  # observed dot-matrix block totals
-    # one length tier for the whole run: reads are length-sorted desc, so
-    # rb.lengths[0] is the maximum — a single compile per kernel
-    Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
-
-    def dispatch(b0, pbud_override=None, mb_override=None, nbk_override=None):
-        real = qarr[b0 : min(len(qarr), b0 + Q)]
-        rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
-        batch, lens = rb.batch(rids, pad_to=Ltier)
-        _prof("host_batch")
-        nbest_of = np.maximum(p.nbest, p.nbest * lens.astype(np.int64) // max(1, avg_len))
-        qskip = (rdcovs[rids] >= nbest_of) | rdmask[rids]
-        qskip[len(real):] = True
-        sup_lists = [sorted(attempted_by[r]) for r in rids]
-        S = _pad_tier(max(1, max((len(s) for s in sup_lists), default=1)),
-                      tiers=(16, 64, 256, 1024, 4096, 16384))
-        sup = np.full((Q, S), INT32_MAX, np.int32)
-        sup_cnt = np.zeros(Q, np.int32)
-        for i, s in enumerate(sup_lists):
-            sup[i, : len(s)] = s
-            sup_cnt[i] = len(s)
-        sup_cnt[len(real):] = 0
-        _prof("_start")
-        kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
-        kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
-        _prof("seeds16", kvalid)
-        # exact host-side candidate-expansion sizing
-        kcodes, kval = np_canonical_kmers(batch, lens, p.ksize, p.hz)
-        k32 = kcodes.astype(np.uint32).reshape(-1)
-        if p.ksave > 1:
-            sub = (np_jenkins_u32(k32) % np.uint32(1024 * p.ksave)) < np.uint32(1024)
+            pre_pairs.add((min(i1, i2), max(i1, i2)))
+    rdcovs = np.zeros(n, np.int64)
+    rdmask = np.zeros(n, bool)
+    avg_len = rb.avg_len()
+    for bi in range(B):
+        csorted = csorted_all[bi].reshape(Q, Adm)
+        if sw_engine:
+            _emit_batch_sw(rb, p, all_rids[bi], packs[bi], csorted, Q, Adm, C,
+                           rdcovs, rdmask, overlaps, emitted_pairs,
+                           pre_pairs, attempted_out, avg_len)
         else:
-            sub = np.ones(k32.shape, bool)
-        klo = np.searchsorted(kidx.np_kmers, k32, side="left")
-        khi = np.searchsorted(kidx.np_kmers, k32, side="right")
-        kneed = int(np.where(kval.reshape(-1) & sub, khi - klo, 0).sum())
-        # quantize to factor-4 tiers: each distinct budget costs one compile
-        cbud = max(1 << 18, 1 << (2 * int(np.ceil(np.log2(kneed + 1024) / 2))))
-        cbud = min(cbud, p.expand_budget_cap)
-        _prof("host_size_k")
-        cands_d, ols_d, cand_total = scan_candidates(
-            kres["kmer"], kres["off"], kres["span"], kvalid,
-            jnp.asarray(rids, jnp.int32), jnp.asarray(lens), jnp.asarray(qskip),
-            kidx.kmers, kidx.post_rd, kidx.post_dir, read_lens,
-            jnp.asarray(sup), jnp.asarray(sup_cnt),
-            budget=cbud, ncand=A, kovl=p.kovl, len_ratio=p.len_ratio,
-        )
-        _prof("cands", cands_d)
-        # only the top dm_cand ol-ranked candidates reach the dot-matrix;
-        # candidate table sorted by id, on device (no host sync)
-        cands_dm = cands_d[:, :Adm]
-        csorted_d = jnp.sort(
-            jnp.where(cands_dm < 0, INT32_MAX, cands_dm), axis=1
-        ).astype(jnp.int32)
-        zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
-        _prof("seeds10", zres["kmer"])
-        # sort-join matcher: both budgets self-tune from observed totals,
-        # with overflow redispatch as the safety net (never silently drops)
-        if mb_override is not None:
-            MB = mb_override
-        else:
-            eneed = int(max(exp_hist) * 1.3) + 1024
-            MB = max(1 << 18, 1 << int(np.ceil(np.log2(eneed))))
-            MB = min(MB, mb_bound)
-        ebud = MB
-        if pbud_override is not None:
-            pbud = pbud_override
-        else:
-            pneed = int(max(pair_hist) * 1.3) + 1024
-            pbud = max(1 << 18, 1 << int(np.ceil(np.log2(pneed))))
-            pbud = min(pbud, MB)
-        pairs = extract_zmer_pairs_join(
-            zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
-            csorted_d,
-            zidx.rm_zsd, zidx.rm_pk, zidx.rm_start, read_lens,
-            expand_budget=MB, pair_budget=pbud, kvar=p.kvar,
-            zbits=2 * p.zsize, max_per_read=p.max_zmer_freq,
-        )
-        _prof("zpairs", pairs.pair_id)
-        clen_of_pair = jnp.repeat(
-            jnp.where(csorted_d < n, read_lens[jnp.clip(csorted_d, 0, n - 1)], 0)
-            .astype(jnp.int32).reshape(-1), 2
-        )
-        qlen_of_pair = jnp.repeat(jnp.asarray(lens.astype(np.int32)), Adm * 2)
-        if nbk_override is not None:
-            nbk = nbk_override
-        else:
-            nbk = max(1 << 16, 1 << int(np.ceil(np.log2(int(max(blk_hist) * 1.3) + 1024))))
-            nbk = min(nbk, pbud)
-        res = dot_matrix_align(
-            pairs, qlen_of_pair, clen_of_pair,
-            n_pairs=Q * Adm * 2, nb=p.nb,
-            xvar=p.xvar, yvar=p.yvar, min_block_len=p.min_block_len,
-            max_overhang=p.max_overhang,
-            deviation_penalty=p.deviation_penalty, gap_penalty=p.gap_penalty,
-            nbk=nbk,
-        )
-        _prof("dotmx", res.score)
-        out = dict(rids=rids, lens=lens, cands=cands_dm, csorted=csorted_d,
-                   match_cnt=res.match_cnt, total=pairs.total,
-                   expand_total=pairs.expand_total, ebud=ebud, pbud=pbud,
-                   nbk=nbk, blk_total=res.blk_total,
-                   cbud=cbud, cand_total=cand_total, res=res, b0=b0,
-                   )
-        if p.engine == "sw":
-            out["sw"] = sw_align_batch(
-                res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
-                csorted_d, jnp.asarray(batch), jnp.asarray(lens),
-                flat_bases, read_offs, read_lens,
-                Q=Q, A=Adm, C=min(p.align_cap, Adm), Ltier=Ltier, W=p.band_w,
-                match=p.sw_match, mismatch=p.sw_mismatch, gap=p.sw_gap,
-            )
-        return out
-
-    def settle(d):
-        # pair-budget overflow would silently drop matches: redispatch the
-        # batch synchronously with the full expansion budget, then record
-        # the observed survivor ratio so later batches size tighter
-        total = int(d["total"])
-        texp = int(d["expand_total"])
-        tblk = int(d["blk_total"])
-        for _ in range(4):
-            if texp <= d["ebud"] and total <= d["pbud"] and tblk <= d["nbk"]:
-                break
-            # a truncated buffer under-reports downstream totals, so grow
-            # every overflowing budget and re-verify after the redispatch
-            newe = max(d["ebud"], 1 << int(np.ceil(np.log2(texp + 1024))))
-            newp = max(min(d["pbud"] * 2, newe),
-                       1 << int(np.ceil(np.log2(total + 1024))))
-            newk = max(min(d["nbk"] * 2, newp),
-                       1 << int(np.ceil(np.log2(tblk + 1024))))
-            log("budget overflow (exp %d/%d, pair %d/%d, blk %d/%d): redispatch %d/%d/%d",
-                texp, d["ebud"], total, d["pbud"], tblk, d["nbk"], newe, newp, newk)
-            d = dispatch(d["b0"], pbud_override=newp, mb_override=newe,
-                         nbk_override=newk)
-            total = int(d["total"])
-            texp = int(d["expand_total"])
-            tblk = int(d["blk_total"])
-        exp_hist.append(texp)
-        del exp_hist[:-64]
-        pair_hist.append(total)
-        del pair_hist[:-64]
-        blk_hist.append(tblk)
-        del blk_hist[:-64]
-        _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps,
-                      emitted_pairs, Adm, rdmask, attempted_out)
-
-    qarr = np.arange(n) if parts <= 1 else np.arange(n)[part::parts]
-    pending = None
-    for b0 in range(0, len(qarr), Q):
-        _prof("_start")
-        nxt = dispatch(b0)
-        _prof("_start")
-        if pending is not None:
-            settle(pending)
-        _prof("finish")
-        pending = nxt
-        if progress and (b0 // Q) % 8 == 0:
-            log("overlapped %d/%d reads, %d overlaps", min(len(qarr), b0 + Q), len(qarr), len(overlaps))
-    if pending is not None:
-        settle(pending)
-    log("overlap done: %d overlaps", len(overlaps))
-    if _PROF:
-        prof_report()
+            _emit_batch_dm(rb, p, all_rids[bi], packs[bi], csorted, Q, Adm,
+                           rdcovs, rdmask, overlaps, emitted_pairs,
+                           pre_pairs, attempted_out, avg_len)
+    if progress:
+        log("overlap done: %d overlaps in %.1fs", len(overlaps), time.time() - t0)
     return overlaps
 
 
-def _finish_batch(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, A,
-                  rdmask=None, attempted_out=None):
-    if int(d["cand_total"]) > d.get("cbud", p.cand_budget):
-        log("WARNING: candidate budget overflow (%d > %d)", int(d["cand_total"]),
-            d.get("cbud", p.cand_budget))
-    if int(d["total"]) > d.get("pbud", p.pair_budget):
-        log("WARNING: pair budget overflow (%d > %d)", int(d["total"]),
-            d.get("pbud", p.pair_budget))
-    if int(d.get("expand_total", 0)) > d.get("ebud", p.expand_budget):
-        log("WARNING: zmer expansion overflow (%d > %d)", int(d["expand_total"]),
-            d.get("ebud", p.expand_budget))
-    if p.engine == "sw":
-        _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs,
-                       rdmask, attempted_out)
-    else:
-        _emit_batch(
-            rb, p, d["rids"], d["lens"], np.asarray(d["cands"]), np.asarray(d["csorted"]),
-            np.asarray(d["match_cnt"]), d["res"], rdcovs, attempted_by, overlaps, A,
-            emitted_pairs, attempted_out,
-        )
+def _nbest_of(p, length, avg_len):
+    # per-read nbest scales with length (wtzmo.c:806-807)
+    return max(p.nbest, p.nbest * int(length) // max(1, avg_len))
 
 
-def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
-                attempted_by, overlaps, A, emitted_pairs=None, attempted_out=None):
+def _emit_batch_dm(rb, p, rids, row, csorted, Q, A, rdcovs, rdmask, overlaps,
+                   emitted_pairs, pre_pairs, attempted_out, avg_len):
     """Host-side combine (vectorised): dir choice, ztot gate, ledger, dedup."""
-    if emitted_pairs is None:
-        emitted_pairs = set()
     n = len(rb)
-    q = len(rids)
-    NP2 = q * A * 2
-    pair_ids = np.asarray(res.pair_id)
-    rowmap = np.full(NP2 + 1, -1, np.int64)
-    livep = pair_ids < NP2
-    rowmap[pair_ids[livep]] = np.nonzero(livep)[0]
-    score_a = np.asarray(res.score)
-    tb_a, te_a, qb_a, qe_a = (np.asarray(x) for x in (res.tb, res.te, res.qb, res.qe))
+    NP = Q * A * 2
+    pair_id = row[0: NP]
+    score_a = row[NP: 2 * NP]
+    tb_a = row[2 * NP: 3 * NP]
+    te_a = row[3 * NP: 4 * NP]
+    qb_a = row[4 * NP: 5 * NP]
+    qe_a = row[5 * NP: 6 * NP]
+    match_cnt = row[6 * NP: 7 * NP]
+    lens = rb.lengths[rids]
+    rowmap = np.full(NP + 1, -1, np.int64)
+    livep = pair_id < NP
+    rowmap[pair_id[livep]] = np.nonzero(livep)[0]
     # per (q, slot): matches, best dir, row
-    mc2 = match_cnt.reshape(q, A, 2)
-    mc = mc2.sum(axis=2)
-    live_slot = (csorted < n)
+    mc = match_cnt.reshape(Q, A, 2).sum(axis=2)
+    live_slot = csorted < n
     attempted_mask = live_slot & (mc * p.zsize >= p.ztot)
-    pid0 = (np.arange(q)[:, None] * A + np.arange(A)[None, :]) * 2
-    r0 = rowmap[np.minimum(pid0, NP2)]
-    r1 = rowmap[np.minimum(pid0 + 1, NP2)]
-    w0 = np.where(r0 >= 0, score_a[np.clip(r0, 0, len(score_a) - 1)], 0)
-    w1 = np.where(r1 >= 0, score_a[np.clip(r1, 0, len(score_a) - 1)], 0)
+    pid0 = (np.arange(Q)[:, None] * A + np.arange(A)[None, :]) * 2
+    r0 = rowmap[np.minimum(pid0, NP)]
+    r1 = rowmap[np.minimum(pid0 + 1, NP)]
+    w0 = np.where(r0 >= 0, score_a[np.clip(r0, 0, NP - 1)], 0)
+    w1 = np.where(r1 >= 0, score_a[np.clip(r1, 0, NP - 1)], 0)
     d_best = (w0 < w1).astype(np.int64)
     r_best = np.where(d_best == 1, r1, r0)
     w_best = np.where(d_best == 1, w1, w0)
     has_row = r_best >= 0
-    rb_c = np.clip(r_best, 0, max(0, len(score_a) - 1))
+    rb_c = np.clip(r_best, 0, NP - 1)
     tb = tb_a[rb_c]
     te = te_a[rb_c]
     qb = qb_a[rb_c]
@@ -448,11 +513,19 @@ def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
         & (w_best >= p.min_score)
         & (w_best >= (p.min_id * ol).astype(np.int64))
     )
+    # the reference skips whole queries that already reached nbest
+    # (qskip, wtzmo.c:806) — replayed here at batch granularity
+    nbest_arr = np.array([_nbest_of(p, lens[i], avg_len) for i in range(Q)])
+    qdead = rdcovs[rids] >= nbest_arr
+    ok &= ~qdead[:, None]
+    attempted_mask &= ~qdead[:, None]
     qrid_of = rids[:, None] * np.ones((1, A), np.int64)
-    attempted_now = set(
-        zip(qrid_of[attempted_mask].astype(int).tolist(),
-            csorted[attempted_mask].astype(int).tolist())
-    )
+    att_q = qrid_of[attempted_mask].astype(int)
+    att_c = csorted[attempted_mask].astype(int)
+    attempted_now = set()
+    for a, b in zip(att_q.tolist(), att_c.tolist()):
+        if a != b and (min(a, b), max(a, b)) not in pre_pairs:
+            attempted_now.add((a, b))
     # iterate accepted hits in (query, chain-score desc) order like the
     # reference candidate processing order
     qs, ss = np.nonzero(ok)
@@ -463,10 +536,10 @@ def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
         cand = int(csorted[qi, slot])
         if cand == qrid:
             continue
-        if (cand, qrid) in attempted_now and cand < qrid:
-            continue
         key = (min(qrid, cand), max(qrid, cand))
-        if key in emitted_pairs:
+        if key in pre_pairs or key in emitted_pairs:
+            continue
+        if (cand, qrid) in attempted_now and cand < qrid:
             continue
         emitted_pairs.add(key)
         qlen = int(lens[qi])
@@ -484,37 +557,39 @@ def _emit_batch(rb, p, rids, lens, cands, csorted, match_cnt, res, rdcovs,
         if x1 + x2 <= p.max_unalign_dovetail:
             rdcovs[qrid] += 1
             rdcovs[cand] += 1
-    # ledger for future batches: any attempted pair suppresses the reverse
-    for qrid, cand in attempted_now:
-        attempted_by[cand].append(qrid)
-        if attempted_out is not None:
+    if attempted_out is not None:
+        for qrid, cand in attempted_now:
             attempted_out.append((rb.names[qrid], rb.names[cand]))
 
 
-def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdmask,
-                   attempted_out=None):
+def _emit_batch_sw(rb, p, rids, row, csorted, Q, A, C, rdcovs, rdmask,
+                   overlaps, emitted_pairs, pre_pairs, attempted_out, avg_len):
     """Host combine for the SW engine: DP-score filters, containment mask."""
-    sw = d["sw"]
-    rids = d["rids"]
-    lens = d["lens"]
-    q_l = np.asarray(sw.q_local)
-    cand = np.asarray(sw.cand)
-    drs = np.asarray(sw.dir)
-    score = np.asarray(sw.score)
-    mat = np.asarray(sw.mat)
-    ba = np.asarray(sw.beg_a)
-    ea = np.asarray(sw.end_a)
-    bb = np.asarray(sw.beg_b)
-    eb = np.asarray(sw.end_b)
+    QC = Q * C
+    o = 0
+    def col():
+        nonlocal o
+        v = row[o: o + QC]
+        o += QC
+        return v
+    cand = col(); drs = col(); _chain = col(); score = col(); mat = col()
+    ba = col(); ea = col(); bb = col(); eb = col()
+    lens = rb.lengths[rids]
     attempted_now: set[tuple[int, int]] = set()
     n_before = len(overlaps)
     hits = []
-    for i in range(len(q_l)):
+    for i in range(QC):
         c = int(cand[i])
         if c < 0:
             continue
-        qrid = int(rids[q_l[i]])
+        qi = i // C
+        qrid = int(rids[qi])
         if c == qrid:
+            continue
+        if rdmask[qrid] or rdcovs[qrid] >= _nbest_of(p, lens[qi], avg_len):
+            continue  # contained / nbest-satisfied query (wtzmo.c:806,1320)
+        key = (min(qrid, c), max(qrid, c))
+        if key in pre_pairs:
             continue
         attempted_now.add((qrid, c))
         sc = int(score[i])
@@ -524,7 +599,7 @@ def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdma
         ident = mat[i] / aln
         if ident < p.min_id:
             continue
-        hits.append((qrid, int(lens[q_l[i]]), c, int(drs[i]),
+        hits.append((qrid, int(lens[qi]), c, int(drs[i]),
                      int(ba[i]), int(ea[i]), int(bb[i]), int(eb[i]),
                      sc, int(mat[i]), aln))
     for qrid, qlen, c, dr, tb, te, qb, qe, sc, m, aln in hits:
@@ -547,12 +622,11 @@ def _emit_batch_sw(rb, p, d, rdcovs, attempted_by, overlaps, emitted_pairs, rdma
             rdcovs[qrid] += 1
             rdcovs[c] += 1
         # contained candidate (skip_contained, max_unalign_in_contained=0)
-        if rdmask is not None and qb <= 0 and qe >= clen:
+        if qb <= 0 and qe >= clen:
             rdmask[c] = True
     n_new = len(overlaps) - n_before
-    for qrid, c in attempted_now:
-        attempted_by[c].append(qrid)
-        if attempted_out is not None:
+    if attempted_out is not None:
+        for qrid, c in attempted_now:
             attempted_out.append((rb.names[qrid], rb.names[c]))
     if p.emit_cigar and n_new:
         _attach_cigars(rb, p, overlaps[-n_new:])

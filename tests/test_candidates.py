@@ -28,7 +28,7 @@ def test_candidates_find_true_overlaps():
     Q = min(8, len(rb))
     rids = np.arange(Q)
     res, valid, lens = _query_arrays(rb, rids)
-    cands, ols, total = scan_candidates(
+    cands, ols, total, _probes = scan_candidates(
         res["kmer"], res["off"], res["span"], valid,
         jnp.asarray(rids, jnp.int32), jnp.asarray(lens),
         jnp.zeros(Q, bool),
@@ -84,7 +84,7 @@ def test_candidates_suppression():
         idx.kmers, idx.post_rd, idx.post_dir,
         jnp.asarray(rb.lengths),
     )
-    cands0, _, _ = scan_candidates(
+    cands0, _, _, _ = scan_candidates(
         *args, jnp.zeros((Q, 0), jnp.int32), jnp.zeros(Q, jnp.int32),
         budget=1 << 18, ncand=32, kovl=300,
     )
@@ -95,7 +95,7 @@ def test_candidates_suppression():
     sup[0, 0] = top
     cnt = np.zeros(Q, np.int32)
     cnt[0] = 1
-    cands1, _, _ = scan_candidates(
+    cands1, _, _, _ = scan_candidates(
         *args, jnp.asarray(sup), jnp.asarray(cnt),
         budget=1 << 18, ncand=32, kovl=300,
     )
@@ -111,7 +111,7 @@ def test_candidates_skip_flag():
     rids = np.arange(Q)
     res, valid, lens = _query_arrays(rb, rids)
     skip = np.array([True, False])
-    cands, _, _ = scan_candidates(
+    cands, _, _, _ = scan_candidates(
         res["kmer"], res["off"], res["span"], valid,
         jnp.asarray(rids, jnp.int32), jnp.asarray(lens),
         jnp.asarray(skip),
