@@ -96,7 +96,8 @@ def _add_util(sub):
     q = sub.add_parser("cyc", help="self-revcomp palindrome mask (wtcyc)")
     q.add_argument("inputs", nargs="+")
     q.add_argument("-o", "--output", default="-")
-    q.add_argument("-s", "--min-score", type=int, default=200)
+    q.add_argument("-s", "--min-score", type=int, default=400)
+    q.add_argument("-m", "--min-id", type=float, default=0.7)
     q = sub.add_parser("dif", help="variants of reads vs first read (wtdif)")
     q.add_argument("inputs", nargs="+")
     q = sub.add_parser("idx", help="build + snapshot the overlap indexes (wtidx)")
@@ -256,7 +257,8 @@ def main(argv=None):
     if args.cmd == "cyc":
         from .pipeline.aln_tools import run_cyc
 
-        run_cyc(args.inputs, args.output, min_score=args.min_score)
+        run_cyc(args.inputs, args.output, min_score=args.min_score,
+                min_id=args.min_id)
         return 0
 
     if args.cmd == "dif":

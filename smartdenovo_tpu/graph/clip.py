@@ -422,6 +422,70 @@ def filter_lonely(a: _Arrays, p: ClpParams) -> int:
     return ret
 
 
+def estimate_genome(a: _Arrays, p: ClpParams, max_dep: int = 100):
+    """Coverage-histogram genome-size estimate (wtclp.c:819-896).
+
+    For every kept, non-contained read, legal overlap intervals (margins
+    within bin_size) are swept into a depth profile; segment lengths
+    accumulate into a global depth histogram.  Estimated coverage = modal
+    overlap depth + 1 (the read itself); genome = kept bases / coverage.
+    Returns (hist [max_dep], total_bases, avg_cov, genome_size).
+    """
+    bs = p.bin_size
+    open_r = a.closed == 0
+    keep = open_r & (a.clp[:, 0] < a.clp[:, 1])
+    tot = int(np.sum((a.clp[:, 1] - a.clp[:, 0])[keep]))
+    rid_ev = []
+    pos_ev = []
+    del_ev = []
+    for k in (0, 1):
+        s1 = a.s[:, k]
+        s2 = a.s[:, 1 - k]
+        ok = keep[s1] & ~a.fix[s1] & open_r[s2]
+        d0 = a.clp[s1, 0] - a.x[:, k]
+        d1 = a.y[:, k] - a.clp[s1, 1]
+        d2 = a.clp[s2, 0] - a.x[:, 1 - k]
+        d3 = a.y[:, 1 - k] - a.clp[s2, 1]
+        diffdir = a.d[:, 0] != a.d[:, 1]
+        sa = np.where(diffdir, np.maximum(d0, d3), np.maximum(d0, d2))
+        sb = np.where(diffdir, np.maximum(d1, d2), np.maximum(d1, d3))
+        ok &= (sa + bs >= 0) & (sb + bs >= 0)
+        sa = np.maximum(sa, 0)
+        sb = np.maximum(sb, 0)
+        alen = a.y[:, k] - a.x[:, k]
+        ok &= sa + sb + bs <= alen
+        beg = (a.x[:, k] + sa)[ok]
+        end = (a.y[:, k] - sb)[ok]
+        rid = s1[ok]
+        rid_ev.append(np.concatenate([rid, rid]))
+        pos_ev.append(np.concatenate([beg, end]))
+        del_ev.append(np.concatenate([np.ones(len(rid), np.int64),
+                                      np.full(len(rid), -1, np.int64)]))
+    hist = np.zeros(max_dep, np.int64)
+    if rid_ev:
+        rid = np.concatenate(rid_ev)
+        pos = np.concatenate(pos_ev)
+        dlt = np.concatenate(del_ev)
+        order = np.lexsort((pos, rid))
+        rid, pos, dlt = rid[order], pos[order], dlt[order]
+        # depth BEFORE each event; segment = [prev_pos, pos) within a read
+        dep = np.cumsum(dlt) - dlt
+        same = np.concatenate([[False], rid[1:] == rid[:-1]])
+        # per-read running depth: subtract the cumsum at each read start
+        first_idx = np.nonzero(~same)[0]
+        base = np.repeat(dep[first_idx], np.diff(np.append(first_idx, len(rid))))
+        dep = dep - base
+        seg = np.where(same, pos - np.concatenate([[0], pos[:-1]]), 0)
+        sel = (seg > 0) & (dep >= 0) & (dep < max_dep)
+        np.add.at(hist, dep[sel], seg[sel])
+    if len(hist) > 1 and hist[1:].max() > 0:
+        avg = int(np.argmax(hist[1:])) + 1 + 1  # +1 index base, +1 roundup
+    else:
+        avg = 1
+    genome = tot // max(1, avg)
+    return hist, tot, avg, genome
+
+
 def run_clp(records, params: ClpParams | None = None) -> dict[str, tuple[int, int, int, int, int]]:
     """Full wtclp pipeline (main loop wtclp.c:1019-1056).
 
@@ -458,6 +522,9 @@ def run_clp(records, params: ClpParams | None = None) -> dict[str, tuple[int, in
         log("wtclp iter %d: %d lonely, %d chimeric, %d legal", it + 1, nflt, nclp, tol)
         if nflt + nclp == 0:
             break
+    hist, tot, avg, genome = estimate_genome(a, p)
+    log("wtclp: %d bp available, est coverage %d, est genome size %d bp",
+        tot, avg, genome)
     for sid, name in enumerate(st.names):
         if a.closed[sid]:
             x = y = 0

@@ -379,6 +379,132 @@ def extract_zmer_pairs_join(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("expand_budget", "pair_budget", "qm_budget", "kvar",
+                     "zbits", "max_per_read"),
+)
+def extract_zmer_pairs_vtab(
+    qrids: jnp.ndarray,   # [Q] int32 global read ids of the batch queries
+    cands_sorted: jnp.ndarray,  # [Q, A] int32 candidate read ids (pad INT32_MAX)
+    rm_zsd: jnp.ndarray,  # [P] int32 zmer<<9|span<<1|dir, (rd, zmer)-sorted
+    rm_pk: jnp.ndarray,   # [P] int32 off<<9|span<<1|dir, same order
+    rm_start: jnp.ndarray,  # [R+1] int32 CSR per-read posting offsets
+    read_lens: jnp.ndarray,  # [R] int32
+    *,
+    expand_budget: int,   # >= total candidate zmer entries this batch
+    pair_budget: int,     # >= total matches this batch
+    qm_budget: int,       # >= total query zmer entries this batch
+    kvar: int = 2,
+    zbits: int = 20,      # 2*zsize
+    max_per_read: int = 16,
+) -> PairBatch:
+    """Sort-free per-pair z-mer intersection via a direct-addressed
+    (query, zmer) table — the TPU equivalent of the reference's per-read
+    BitVec-with-rank zmer filter (hzm_aln.h:114,152,206).
+
+    The sort-join (`extract_zmer_pairs_join`) pays ~6 sort passes over the
+    expanded candidate mass; on TPU the currency is random HBM touches, so
+    this version spends exactly 2 gathers per expanded element instead:
+
+      1. vt build (query mass, ~1-5%% of expansion): queries are reads, so
+         each query's zmer groups are contiguous in the (rd, zmer)-sorted
+         index.  Scatter each group's (global start index + 1) << 5 | count
+         into vt[(q << zbits) | zmer].
+      2. candidate expansion (the hot axis): for every posting of every
+         candidate slice, gather its zsd and ONE vt entry; non-matching
+         zmers (the vast majority) die right there.
+      3. matches expand into the n x m co-occurrence list exactly like the
+         join's phase 3, but the query occurrences come straight from the
+         vt start index — no sorted run bookkeeping.
+
+    Requires P < 2^25 (index start packs into 25 bits) and zsize <= 12.
+    """
+    Q = qrids.shape[0]
+    A = cands_sorted.shape[1]
+    R = read_lens.shape[0]
+    P = rm_zsd.shape[0]
+    assert P < (1 << 25), "vt start packing needs P < 2^25; shard the index (-G)"
+    assert max_per_read <= 64, "vt count packing uses 6 bits"
+    BIGP = jnp.int32(Q * A * 2)
+    VT = Q << zbits
+
+    # ---- phase 1: direct-addressed query zmer table -------------------
+    r = jnp.clip(qrids, 0, R - 1)
+    qcnt = rm_start[r + 1] - rm_start[r]
+    from .flatops import expand_ranges
+
+    qsrc, qwithin, qalive, qtotal = expand_ranges(qcnt, qm_budget)
+    qidx = jnp.clip(rm_start[r][qsrc] + qwithin, 0, P - 1)
+    qzsd = rm_zsd[qidx]
+    qzmer = qzsd >> 9
+    prev_z = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qzmer[:-1]])
+    prev_s = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qsrc[:-1]])
+    run_new = qalive & ((qwithin == 0) | (qzmer != prev_z) | (qsrc != prev_s))
+    run_id = jnp.cumsum(run_new.astype(jnp.int32)) - 1
+    pq = jnp.arange(qm_budget, dtype=jnp.int32)
+    # start position (in the expanded axis) of each run; runs are dense ids
+    S = (
+        jnp.zeros(qm_budget + 1, jnp.int32)
+        .at[jnp.where(run_new, run_id, qm_budget)]
+        .set(pq, mode="drop")
+    )
+    n_runs = run_id[-1] + 1
+    S = S.at[jnp.clip(n_runs, 0, qm_budget)].set(qtotal, mode="drop")
+    run_cnt = S[jnp.clip(run_id + 1, 0, qm_budget)] - pq  # valid at run starts
+    vt_idx = jnp.where(
+        run_new, (qsrc << zbits) | qzmer, jnp.int32(VT)
+    )
+    vt_val = ((qidx + 1) << 6) | jnp.minimum(run_cnt, 63)
+    vt = jnp.zeros(VT, jnp.int32).at[vt_idx].set(vt_val, mode="drop")
+
+    # ---- phase 2: candidate expansion + table probe -------------------
+    c = jnp.clip(cands_sorted, 0, R - 1)
+    cvalid = (cands_sorted >= 0) & (cands_sorted < R)
+    cstart = jnp.where(cvalid, rm_start[c], 0).reshape(-1)
+    cnt1 = jnp.where(cvalid, rm_start[c + 1] - rm_start[c], 0).reshape(-1)
+    clen_flat = jnp.where(cvalid, read_lens[c], 0).reshape(-1)  # [Q*A]
+    src1, within1, alive1, total1 = expand_ranges(cnt1, expand_budget)
+    pidx = jnp.clip(cstart[src1] + within1, 0, P - 1)
+    zsd = jnp.where(alive1, rm_zsd[pidx], 0)                 # gather 1 [MB]
+    q1 = src1 // A
+    probe = jnp.where(
+        alive1, (q1 << zbits) | (zsd >> 9), jnp.int32(VT)
+    )
+    qinfo = jnp.concatenate([vt, jnp.zeros(1, jnp.int32)])[
+        jnp.minimum(probe, VT)
+    ]                                                        # gather 2 [MB]
+    qstart1 = (qinfo >> 6) - 1
+    cnt2 = jnp.where(alive1 & (qinfo != 0), qinfo & 63, 0)
+
+    # ---- phase 3: emit n x m co-occurrences ---------------------------
+    src2, within2, alive2, total2 = expand_ranges(cnt2, pair_budget)
+    pidx2 = jnp.clip(pidx[src2], 0, P - 1)                   # gather 3 [PB]
+    qslot2 = jnp.clip(src1[src2], 0, Q * A - 1)              # gather 4 [PB]
+    qidx2 = jnp.clip(qstart1[src2] + within2, 0, P - 1)      # gather 5 [PB]
+    qg = rm_pk[qidx2]                                        # gather 6 [PB]
+    cg = rm_pk[pidx2]                                        # gather 7 [PB]
+    cln = clen_flat[qslot2]                                  # gather 8 [PB]
+    q_off = qg >> 9
+    q_span = (qg >> 1) & 0xFF
+    p_off = cg >> 9
+    p_span = (cg >> 1) & 0xFF
+    pairdir = (qg ^ cg) & 1
+    o2 = jnp.where(pairdir == 1, cln - (p_off + p_span), p_off)
+    len_ok = alive2 & (jnp.abs(q_span - p_span) <= kvar)
+    pair_id = jnp.where(len_ok, qslot2 * 2 + pairdir, BIGP)
+    return PairBatch(
+        pair_id=pair_id,
+        off1=q_off,
+        off2=o2,
+        len1=q_span,
+        len2=p_span,
+        match_cnt=jnp.zeros(Q * A * 2, jnp.int32),  # filled by dot_matrix_align
+        total=total2,
+        expand_total=total1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # phases 3-5: blocks, merge, chain
 # ---------------------------------------------------------------------------

@@ -49,19 +49,44 @@ def run_pairaln(inputs, out=None):
                   f"{mat / max(1, aln):.3f}\n")
 
 
-def run_cyc(inputs, output="-", min_score: int = 200, out=None):
-    """Detect palindromic (self-revcomp) reads; keep the longer half."""
+def run_cyc(inputs, output="-", min_score: int = 400, min_id: float = 0.7,
+            out=None):
+    """Detect palindromic (self-revcomp) reads; keep the longer arm.
+
+    Reference semantics (wtcyc.c output_alignment:78-92): align rc(read)
+    vs read; if the local alignment scores >= min_score at identity >=
+    min_id, touches a read end, and is coordinate-symmetric (an inverted
+    repeat maps onto itself: |tb - (len-qe)| < 50 and |te - (len-qb)| <
+    50), the fold point is bp = (tb + te) / 2 — the midpoint of the
+    palindromic region — and the longer side of bp is kept.  Begin
+    coordinates come from a second local DP on the reversed sequences.
+    """
     fh = sys.stdout if output == "-" else open(output, "w")
     try:
         for name, _, seq in read_seqs(inputs):
             codes = seq_to_codes(seq)
             rc = revcomp_codes(codes)
-            sc, mat, ea, eb = _align_two(codes, rc)
             ln = len(codes)
-            if sc >= min_score and mat >= 0.3 * ln:
-                # palindrome: keep the longer half up to the fold point
-                mid = ln // 2
-                fh.write(f"{name}\t0\t{mid}\t{ln}\n")
+            sc, mat, qe, te = _align_two(rc, codes, W=1600)
+            bp = -1
+            if sc >= min_score:
+                # suffix trick: ends of the reversed problem are begins
+                sc2, _m2, ea2, eb2 = _align_two(rc[::-1].copy(),
+                                                codes[::-1].copy(), W=1600)
+                qb = ln - ea2
+                tb = ln - eb2
+                aln = max(qe - qb, te - tb)
+                ident = mat / (aln + 1)
+                anchored = tb <= 0 or te >= ln
+                symmetric = (abs(tb - (ln - qe)) < 50
+                             and abs(te - (ln - qb)) < 50)
+                if ident >= min_id and anchored and symmetric:
+                    bp = (tb + te) // 2
+            if bp >= 0:
+                if bp < ln // 2:
+                    fh.write(f"{name}\t{bp}\t{ln - bp}\t{ln}\n")
+                else:
+                    fh.write(f"{name}\t0\t{bp}\t{ln}\n")
             else:
                 fh.write(f"{name}\t0\t{ln}\t{ln}\n")
     finally:

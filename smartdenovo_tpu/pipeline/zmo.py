@@ -41,7 +41,8 @@ from ..ops.flatseeds import (flat_seeds, build_indexes_device,
                              gather_query_rows, pad_pow2, FlatSeeds,
                              DeviceIndexes)
 from ..ops.candidates import scan_candidates
-from ..ops.dotmatrix import extract_zmer_pairs_join, dot_matrix_align
+from ..ops.dotmatrix import (extract_zmer_pairs_join, extract_zmer_pairs_vtab,
+                             dot_matrix_align)
 from ..ops.zmo_sw import sw_align_batch
 from ..utils.log import log
 
@@ -72,9 +73,9 @@ class ZmoParams:
     # dot-matrix candidate width: only the top dm_cand candidates (by k16
     # union length) per query go through zmer extraction + dot-matrix.
     # Measured on the bench set every true pair ranks < 48 on at least one
-    # side, so 128 keeps exact recall while cutting pair mass ~4x; raise
+    # side, so 64 keeps exact recall while cutting pair mass ~8x; raise
     # for very deep coverage (true overlaps/read ~ 2x coverage).
-    dm_cand: int = 128
+    dm_cand: int = 64
     nbest: int = 100          # -B
     min_score: int = 200      # -s
     min_id: float = 0.5       # -m (dmo: 0.1)
@@ -95,6 +96,8 @@ class ZmoParams:
     expand_budget_cap: int = 1 << 26    # hard memory ceiling
     pair_budget: int = 1 << 20          # unused (kept for API compat)
     nb: int = 32
+    matcher: str = "vtab"     # "vtab" = direct-addressed (q, zmer) table;
+                              # "join" = global sort-join (reference sizes)
 
     # SW (zmo) engine
     engine: str = "dm"        # "dm" = dot-matrix (-U), "sw" = banded local DP
@@ -196,21 +199,29 @@ def _cand_batch_device(candbuf, sizebuf, bi, rids, qlens, qskip,
 
 _PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "qkb", "nb", "kvar",
                  "zbits", "max_per_read", "xvar", "yvar", "min_block_len",
-                 "max_overhang", "deviation_penalty", "gap_penalty")
+                 "max_overhang", "deviation_penalty", "gap_penalty", "matcher")
 
 
 def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
                *, Q, Lc, Adm, mb, pb, nbk, qkb, nb, kvar, zbits,
                max_per_read, xvar, yvar, min_block_len, max_overhang,
-               deviation_penalty, gap_penalty, **_unused):
+               deviation_penalty, gap_penalty, matcher="vtab", **_unused):
     n = read_lens.shape[0]
-    zk, zoff, zspan, zdir, zvalid = gather_query_rows(z10, rids, Lc)
-    pairs = extract_zmer_pairs_join(
-        zk, zdir, zoff, zspan, zvalid, csorted,
-        didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens,
-        expand_budget=mb, pair_budget=pb, kvar=kvar, zbits=zbits,
-        max_per_read=max_per_read, qprobe_budget=qkb,
-    )
+    if matcher == "vtab":
+        pairs = extract_zmer_pairs_vtab(
+            rids, csorted,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens,
+            expand_budget=mb, pair_budget=pb, qm_budget=qkb, kvar=kvar,
+            zbits=zbits, max_per_read=max_per_read,
+        )
+    else:
+        zk, zoff, zspan, zdir, zvalid = gather_query_rows(z10, rids, Lc)
+        pairs = extract_zmer_pairs_join(
+            zk, zdir, zoff, zspan, zvalid, csorted,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens,
+            expand_budget=mb, pair_budget=pb, kvar=kvar, zbits=zbits,
+            max_per_read=max_per_read, qprobe_budget=qkb,
+        )
     clen_of_pair = jnp.repeat(
         jnp.where(csorted < n, read_lens[jnp.clip(csorted, 0, n - 1)], 0)
         .astype(jnp.int32).reshape(-1), 2)
@@ -379,15 +390,20 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             **cand_static)
     sizes = np.asarray(sizebuf)                    # sync 2: phase-2 sizes
 
-    # ---- phase 2: zmer join + dot-matrix at per-batch-tier budgets ----
-    qkb = pad_pow2(max((int(comp_len[b].sum()) for b in batches), default=1)
-                   + Q, lo=1 << 12)
+    # ---- phase 2: zmer match + dot-matrix at per-batch-tier budgets ----
+    if p.matcher == "vtab":
+        # query zmer mass per batch (vt build axis)
+        qkb = pad_pow2(max((int(zcnt[b].sum()) for b in batches), default=1)
+                       + Q, lo=1 << 12)
+    else:
+        qkb = pad_pow2(max((int(comp_len[b].sum()) for b in batches),
+                           default=1) + Q, lo=1 << 12)
     pair_static = dict(
         Q=Q, Lc=Lc, Adm=Adm, qkb=qkb, nb=p.nb, kvar=p.kvar,
         zbits=2 * p.zsize, max_per_read=p.max_zmer_freq, xvar=p.xvar,
         yvar=p.yvar, min_block_len=p.min_block_len,
         max_overhang=p.max_overhang, deviation_penalty=p.deviation_penalty,
-        gap_penalty=p.gap_penalty,
+        gap_penalty=p.gap_penalty, matcher=p.matcher,
     )
     if sw_engine:
         pair_static.update(C=C, Ltier=Ltier, W=p.band_w, match=p.sw_match,

@@ -4,6 +4,9 @@ import pytest
 from smartdenovo_tpu.data.readbank import ReadBank
 from smartdenovo_tpu.graph.clip import (
     ClpParams,
+    _Arrays,
+    estimate_genome,
+    load_overlaps_clp,
     overlaps_to_clp_records,
     run_clp,
 )
@@ -60,6 +63,19 @@ def test_clip_drops_chimeras(clip_input):
         if closed:
             caught += 1
     assert caught >= 1, "no chimeric read was dropped"
+
+
+def test_genome_estimation(clip_input):
+    """wtclp.c:819-896: modal overlap depth + 1 ~ coverage; tot/avg ~ genome."""
+    g, rb, overlaps = clip_input
+    p = ClpParams.dmo()
+    st = load_overlaps_clp(overlaps_to_clp_records(rb, overlaps), p)
+    a = _Arrays(st)
+    hist, tot, avg, genome = estimate_genome(a, p)
+    assert tot > 0 and avg >= 1
+    # simulated at 12x on a 30kb genome: estimate within a factor ~2
+    assert 8 <= avg <= 20, avg
+    assert 15000 <= genome <= 60000, genome
 
 
 def test_clip_output_format(clip_input):

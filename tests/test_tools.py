@@ -60,6 +60,24 @@ def test_cyc_detects_palindrome(tmp_path):
     assert int(rows["norm"][2]) == 1200     # untouched
 
 
+def test_cyc_offcenter_fold(tmp_path):
+    """The fold point comes from the alignment, not ln//2 (wtcyc.c:86-90)."""
+    from smartdenovo_tpu.cli import main
+    from smartdenovo_tpu.data.readbank import codes_to_seq, revcomp_codes
+
+    rng = np.random.default_rng(9)
+    arm = rng.integers(0, 4, 800).astype(np.uint8)
+    read = np.concatenate([arm, revcomp_codes(arm[500:])])  # fold at 800
+    fa = tmp_path / "c2.fa"
+    fa.write_text(f">off\n{codes_to_seq(read)}\n")
+    out = tmp_path / "c2.obt"
+    assert main(["cyc", str(fa), "-o", str(out)]) == 0
+    name, off, ln, total = out.read_text().split()
+    # keeps [0, bp) with bp ~ 800 (the true fold), not ln//2 = 550
+    assert int(off) == 0
+    assert 750 <= int(ln) <= 850, ln
+
+
 def test_idx_snapshot_roundtrip(tmp_path):
     from smartdenovo_tpu.data.readbank import ReadBank
     from smartdenovo_tpu.ops.index import build_kmer_index, build_zmer_index
