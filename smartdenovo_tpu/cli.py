@@ -75,7 +75,12 @@ def _add_cns(sub):
     q = sub.add_parser("cns", help="consensus (wtcns)")
     q.add_argument("-i", "--layout", required=True)
     q.add_argument("-o", "--output", default="-")
-    q.add_argument("-n", "--iterations", type=int, default=4)
+    q.add_argument("-n", "--iterations", type=int, default=6)
+    q.add_argument("-a", "--aln-out", default=None,
+                   help="align reads against final consensus, write here (wtcns -a)")
+    q.add_argument("-V", "--vmsa", type=float, default=None,
+                   help="variant matrix in -a output; 2.05 = min count 2, "
+                        "min freq 0.05 (wtcns -V)")
 
 
 def _add_mer(sub):
@@ -216,7 +221,8 @@ def main(argv=None):
 
         enable_compilation_cache()
         units = parse_lay_file(args.layout)
-        res = run_cns(units, CnsParams(n_iter=args.iterations))
+        res = run_cns(units, CnsParams(n_iter=args.iterations),
+                      aln_path=args.aln_out, vmsa=args.vmsa)
         if args.output == "-":
             from .data.readbank import codes_to_seq
 

@@ -28,7 +28,7 @@ DIAG, UP, LEFT, STOP = 1, 2, 3, 0
 @functools.partial(
     jax.jit,
     static_argnames=("LA", "W", "match", "mismatch", "gap", "gap_a", "gap_b",
-                     "semiglobal_b"),
+                     "semiglobal_b", "return_rowmax"),
 )
 def banded_align(
     a: jnp.ndarray,       # [B, LA] uint8
@@ -45,6 +45,7 @@ def banded_align(
     gap_a: int | None = None,   # cost of consuming a (insertion in a / UP)
     gap_b: int | None = None,   # cost of consuming b (deletion / LEFT)
     semiglobal_b: bool = False,
+    return_rowmax: bool = False,  # also return per-row best (score, col)
 ):
     """Returns (score [B], end_col [B], dirs [B, LA+1, W] uint8).
 
@@ -143,7 +144,19 @@ def banded_align(
         score = hs_all[alen, bidx, jnp.clip(lane_end, 0, W - 1)]
         score = jnp.where((lane_end >= 0) & (lane_end < W), score, NEG_INF)
         end_col = blen
-    return score, end_col, jnp.transpose(dirs, (1, 0, 2))
+    dirs_t = jnp.transpose(dirs, (1, 0, 2))
+    if return_rowmax:
+        # per-row best in-band cell (for extension alignments that may
+        # stop early with an end-clip penalty, reference kswx T logic)
+        cols = base[:, :, None] + lanes[None]            # [B, LA+1, W]
+        hrows = jnp.transpose(hs_all, (1, 0, 2))         # [B, LA+1, W]
+        okc = (cols >= 0) & (cols <= blen[:, None, None])
+        masked = jnp.where(okc, hrows, NEG_INF)
+        rlane = jnp.argmax(masked, axis=2).astype(jnp.int32)
+        rmax = jnp.take_along_axis(masked, rlane[:, :, None], axis=2)[:, :, 0]
+        rcol = jnp.take_along_axis(cols, rlane[:, :, None], axis=2)[:, :, 0]
+        return score, end_col, dirs_t, rmax, rcol
+    return score, end_col, dirs_t
 
 
 def make_band_centers(anchors_list, alens, blens, LA: int, W: int) -> np.ndarray:

@@ -33,10 +33,16 @@ from ..utils.native import DagCns
 
 INT32_MAX = np.int32(0x7FFFFFFF)
 
+# base letter byte -> 2-bit code (4 = other), reference base_bit_table
+_BASE_BIT = np.full(256, 4, np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _BASE_BIT[_c] = _i
+    _BASE_BIT[_c + 32] = _i
+
 
 @dataclasses.dataclass
 class CnsParams:
-    n_iter: int = 4            # -n (reference default 6)
+    n_iter: int = 6            # -n (reference default 6, wtcns.c)
     zsize: int = 10            # -z
     hz: bool = False           # -H (off by default in wtcns)
     kvar: int = 2              # -l
@@ -56,6 +62,13 @@ class CnsParams:
     yvar: int = 64
     min_block_len: int = 64
     max_overhang: int = 512
+    # affine refine pass around the banded alignment's CIGAR before DAG
+    # insertion (reference kswx_refine_alignment, wtcns.c:372-381) —
+    # canonical affine gap placement is what lets the DAG votes stack
+    refine: bool = True
+    refine_open_i: int = -2    # reference wtcns -I
+    refine_open_d: int = -3    # reference wtcns -D
+    refine_ext: int = -1       # reference -E
 
 
 @dataclasses.dataclass
@@ -66,6 +79,8 @@ class LayUnitig:
     reads: list[np.ndarray]   # oriented 2-bit codes (direct-use, like .lay rows)
     offs: list[int]
     backbone: list[bool]      # Y/N flag
+    rnames: list[str] | None = None   # read names (for -a output)
+    quals: list[np.ndarray] | None = None  # [len,7] f5q tracks or None per read
 
 
 def units_from_graph(graph) -> list[LayUnitig]:
@@ -83,7 +98,7 @@ def units_from_graph(graph) -> list[LayUnitig]:
         lay = list(lay)
         if not any(e[5] for e in lay):  # not already recruited (output_layout)
             graph._recurit_contained(lay)
-        reads, offs, bflags = [], [], []
+        reads, offs, bflags, rnames = [], [], [], []
         for nid, dir, fwd, bwd, off, cont in lay:
             codes = graph.rb.get(nid)
             if dir:
@@ -91,7 +106,9 @@ def units_from_graph(graph) -> list[LayUnitig]:
             reads.append(np.ascontiguousarray(codes))
             offs.append(int(off))
             bflags.append(not cont)
-        units.append(LayUnitig(name=f"utg{i}", reads=reads, offs=offs, backbone=bflags))
+            rnames.append(graph.rb.names[nid])
+        units.append(LayUnitig(name=f"utg{i}", reads=reads, offs=offs,
+                               backbone=bflags, rnames=rnames))
     return units
 
 
@@ -108,15 +125,27 @@ def parse_lay_file(path: str) -> list[LayUnitig]:
                 continue
             if line.startswith(">"):
                 name = line[1:].split()[0]
-                cur = LayUnitig(name=name, reads=[], offs=[], backbone=[])
+                cur = LayUnitig(name=name, reads=[], offs=[], backbone=[],
+                                rnames=[], quals=[])
                 units.append(cur)
                 continue
             cols = line.split("\t")
             if len(cols) < 6 or cur is None:
                 continue
             cur.backbone.append(cols[0] == "Y")
+            cur.rnames.append(cols[1])
             cur.offs.append(int(cols[3]))
             cur.reads.append(seq_to_codes(cols[5]))
+            # optional f5q 7-track qualities (wtcns.c:938: col7 len == 7*len;
+            # push5q_wtcns: tracks 0-4 phred chars -33, tracks 5-6 base codes)
+            if len(cols) > 6 and len(cols[6]) == 7 * len(cols[5]):
+                raw = np.frombuffer(cols[6].encode(), np.uint8).reshape(7, -1)
+                qv = np.empty_like(raw)
+                qv[:5] = raw[:5] - 33
+                qv[5:] = _BASE_BIT[raw[5:]]
+                cur.quals.append(qv)
+            else:
+                cur.quals.append(None)
     return [u for u in units if u.reads]
 
 
@@ -257,84 +286,125 @@ def _anchor_reads(reads, windows, p: CnsParams):
     return anchors
 
 
-def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None) -> np.ndarray:
-    """Iterative DAG consensus for one unitig; returns consensus codes."""
+def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
+    """Align every layout read to the current consensus (batched device DP).
+
+    Yields (rid, score, beg, end, ra, rb) per read that aligned, where
+    beg/end are cns coordinates and ra/rb the aligned code rows (4 = gap),
+    ra = read, rb = consensus.  Applies the affine refine pass when
+    p.refine (reference kswx_refine_alignment, wtcns.c:372-381); reads
+    with f5q tracks get the quality-aware refine (wtcns.c:380).
+    """
+    nreads = len(unit.reads)
+    for b0 in range(0, nreads, p.batch_reads):
+        ridx = list(range(b0, min(nreads, b0 + p.batch_reads)))
+        reads = [unit.reads[i] for i in ridx]
+        wstarts = []
+        windows = []
+        for i in ridx:
+            ws = max(0, offs[i] - p.win_margin)
+            we = min(len(cns), offs[i] + len(unit.reads[i]) + p.win_margin)
+            if we <= ws:
+                ws, we = 0, min(len(cns), len(unit.reads[i]) + 2 * p.win_margin)
+            wstarts.append(ws)
+            windows.append(cns[ws:we])
+        anchors = _anchor_reads(reads, windows, p)
+        LA = _pad_tier(max(len(r) for r in reads))
+        LBm = max(len(w) for w in windows)
+        B = len(reads)
+        a = np.full((B, LA), 4, np.uint8)
+        b = np.full((B, LBm), 4, np.uint8)
+        alen = np.zeros(B, np.int32)
+        blen = np.zeros(B, np.int32)
+        for i, (r, w) in enumerate(zip(reads, windows)):
+            a[i, : len(r)] = r
+            alen[i] = len(r)
+            b[i, : len(w)] = w
+            blen[i] = len(w)
+        base = make_band_centers(anchors, alen, blen, LA, p.band)
+        score, end_col, dirs = banded_align(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen), jnp.asarray(blen),
+            jnp.asarray(base), LA=LA, W=p.band,
+            match=p.match, mismatch=p.mismatch, gap=p.gap,
+            gap_a=ga, gap_b=gb, semiglobal_b=True,
+        )
+        score = np.asarray(score)
+        cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen, np.asarray(end_col))
+        if p.refine:
+            # affine re-alignment around the prior CIGAR (reference
+            # kswx_refine_alignment, wtcns.c:372-381): canonical gap
+            # placement so DAG votes stack on the same columns
+            from ..ops.refine import refine_alignment_batch
+
+            rpairs = []
+            rcigs = []
+            rmap = []
+            for i in range(B):
+                ops, counts = cigs[i]
+                if not ops:
+                    continue
+                seg_b = b[i][int(b_begs[i]): int(end_col[i])]
+                if int(alen[i]) == 0 or seg_b.size == 0:
+                    continue
+                rpairs.append((a[i][: int(alen[i])], seg_b))
+                rcigs.append((ops, counts))
+                rmap.append(i)
+            refined = refine_alignment_batch(
+                rpairs, rcigs, W_base=64, match=p.match,
+                mismatch=p.mismatch, open_i=p.refine_open_i,
+                open_d=p.refine_open_d, ext=p.refine_ext)
+            for i, r in zip(rmap, refined):
+                cigs[i] = (r["ops"], r["counts"])
+        for i in range(B):
+            ops, counts = cigs[i]
+            if not ops:
+                continue
+            # build alignment strings: row a = read, row b = window
+            ra, rb_ = align_strings(a[i], b[i][int(b_begs[i]):], ops, counts)
+            if ra.shape[0] == 0:
+                continue
+            beg = wstarts[i] + int(b_begs[i])
+            end = wstarts[i] + int(end_col[i])
+            yield ridx[i], int(score[i]), beg, end, ra, rb_
+
+
+def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
+                     return_offs: bool = False):
+    """Iterative DAG consensus for one unitig; returns consensus codes
+    (and the final read offsets when return_offs)."""
     p = p or CnsParams()
     cns = _gen_backbone(unit)
-    if len(cns) == 0:
-        return cns
     nreads = len(unit.reads)
     offs = list(unit.offs)
+    if len(cns) == 0:
+        return (cns, offs) if return_offs else cns
     # convergence guard: agreement = total read bases matching the current
     # backbone, a penalty-independent quality metric.  If an iteration's
     # backbone agrees with the reads less than the previous one did, the
     # DAG update diverged (insertion bloat) — return the previous backbone.
     prev_cns = None
     prev_agree = -1
+    prev_offs = list(offs)
     for it in range(p.n_iter):
         dag = DagCns(p.ref_penalty, p.alt_penalty)
         dag.set_backbone(cns)
         agree = 0
         pending = []  # (score, beg, end, a0, a1)
-        for b0 in range(0, nreads, p.batch_reads):
-            ridx = list(range(b0, min(nreads, b0 + p.batch_reads)))
-            reads = [unit.reads[i] for i in ridx]
-            wstarts = []
-            windows = []
-            for i in ridx:
-                ws = max(0, offs[i] - p.win_margin)
-                we = min(len(cns), offs[i] + len(unit.reads[i]) + p.win_margin)
-                if we <= ws:
-                    ws, we = 0, min(len(cns), len(unit.reads[i]) + 2 * p.win_margin)
-                wstarts.append(ws)
-                windows.append(cns[ws:we])
-            anchors = _anchor_reads(reads, windows, p)
-            LA = _pad_tier(max(len(r) for r in reads))
-            LBm = max(len(w) for w in windows)
-            B = len(reads)
-            a = np.full((B, LA), 4, np.uint8)
-            b = np.full((B, LBm), 4, np.uint8)
-            alen = np.zeros(B, np.int32)
-            blen = np.zeros(B, np.int32)
-            for i, (r, w) in enumerate(zip(reads, windows)):
-                a[i, : len(r)] = r
-                alen[i] = len(r)
-                b[i, : len(w)] = w
-                blen[i] = len(w)
-            base = make_band_centers(anchors, alen, blen, LA, p.band)
-            # reference wtcns: -O in round 1, asymmetric -I/-D afterwards
-            ga = p.gap if it == 0 else p.gap_ins
-            gb = p.gap if it == 0 else p.gap_del
-            score, end_col, dirs = banded_align(
-                jnp.asarray(a), jnp.asarray(b), jnp.asarray(alen), jnp.asarray(blen),
-                jnp.asarray(base), LA=LA, W=p.band,
-                match=p.match, mismatch=p.mismatch, gap=p.gap,
-                gap_a=ga, gap_b=gb, semiglobal_b=True,
-            )
-            score = np.asarray(score)
-            cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen, np.asarray(end_col))
-            for i in range(B):
-                ops, counts = cigs[i]
-                if not ops:
-                    continue
-                # build alignment strings: row a = read, row b = window
-                ra, rb_ = align_strings(a[i], b[i][int(b_begs[i]):], ops, counts)
-                cols = ra.shape[0]
-                m = int(np.sum((ra == rb_) & (ra != 4)))
-                if cols == 0 or m < p.min_id * max(
-                    int(alen[i]), int(np.sum(rb_ != 4))
-                ):
-                    continue
-                beg = wstarts[i] + int(b_begs[i])
-                end = wstarts[i] + int(end_col[i])
-                pending.append((int(score[i]), beg, end, rb_, ra, ridx[i]))
-                agree += m
-                offs[ridx[i]] = beg
+        # reference wtcns: -O in round 1, asymmetric -I/-D afterwards
+        ga = p.gap if it == 0 else p.gap_ins
+        gb = p.gap if it == 0 else p.gap_del
+        for rid, sc, beg, end, ra, rb_ in _align_pass(unit, offs, cns, p, ga, gb):
+            m = int(np.sum((ra == rb_) & (ra != 4)))
+            if m < p.min_id * max(len(unit.reads[rid]), int(np.sum(rb_ != 4))):
+                continue
+            pending.append((sc, beg, end, rb_, ra, rid))
+            agree += m
+            offs[rid] = beg
         if agree < prev_agree:
             log("cns %s iter %d: agreement %d < %d, keeping previous backbone",
                 unit.name, it + 1, agree, prev_agree)
-            return prev_cns
-        prev_cns, prev_agree = cns, agree
+            return (prev_cns, prev_offs) if return_offs else prev_cns
+        prev_cns, prev_agree, prev_offs = cns, agree, list(offs)
         pending.sort(key=lambda t: -t[0])
         for sc, beg, end, a0, a1, _ in pending:
             dag.add_alignment(beg, end, a0, a1)
@@ -350,18 +420,120 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None) -> np.ndarray:
         cns = new_cns
         if len(cns) == 0:
             break
-    return cns
+    return (cns, offs) if return_offs else cns
 
 
-def run_cns(units: list[LayUnitig], params: CnsParams | None = None):
-    """Consensus for all unitigs; returns list of (name, codes)."""
+def run_cns(units: list[LayUnitig], params: CnsParams | None = None,
+            aln_path: str | None = None, vmsa: float | None = None):
+    """Consensus for all unitigs; returns list of (name, codes).
+
+    aln_path: write final read-vs-consensus alignments there (reference
+    wtcns -a, wtcns.c:586-722).  vmsa: also emit the variant MATRIX rows
+    (reference -V <cnt.freq>, e.g. 2.05 = min count 2, min freq 0.05).
+    """
     p = params or CnsParams()
     out = []
-    for unit in units:
-        cns = consensus_unitig(unit, p)
-        if len(cns):
+    alnfh = open(aln_path, "w") if aln_path else None
+    try:
+        for unit in units:
+            cns, offs = consensus_unitig(unit, p, return_offs=True)
+            if not len(cns):
+                continue
             out.append((unit.name, cns))
+            if alnfh is not None:
+                write_final_alignments(alnfh, unit, offs, cns, p, vmsa=vmsa)
+    finally:
+        if alnfh is not None:
+            alnfh.close()
     return out
+
+
+_GAP_CHR = np.frombuffer(b"ACGT-", np.uint8)
+
+
+def _row_str(codes: np.ndarray) -> str:
+    return _GAP_CHR[np.clip(codes, 0, 4)].tobytes().decode()
+
+
+def write_final_alignments(fh, unit: LayUnitig, offs, cns, p: CnsParams,
+                           vmsa: float | None = None, margin: int = 3):
+    """Reference wtcns -a output: per read, a 16-col record + Q/T/M rows;
+    with vmsa, per-column base tallies over interior match-run bases and
+    MATRIX rows at variant columns (wtcns.c:586-722).
+
+    vmsa encodes min_cnt.min_freq like the reference -V flag: 2.05 means
+    min_allele_count 2, min_allele_freq 0.05.
+    """
+    names = unit.rnames or [f"rd{i}" for i in range(len(unit.reads))]
+    cnsid = unit.name.split()[0]
+    ga, gb = p.gap_ins, p.gap_del
+    rows = []
+    for rid, sc, beg, end, ra, rb_ in _align_pass(unit, offs, cns, p, ga, gb):
+        rows.append((rid, sc, beg, end, ra, rb_))
+    if vmsa is not None:
+        min_cnt = int(vmsa)
+        min_freq = vmsa - min_cnt
+        bases = np.zeros((4, len(cns)), np.int32)
+    counted_rows = {}
+    for rid, sc, beg, end, ra, rb_ in rows:
+        m_col = (ra != 4) & (rb_ != 4)
+        mat = int(np.sum(m_col & (ra == rb_)))
+        mis = int(np.sum(m_col & (ra != rb_)))
+        ins = int(np.sum((ra != 4) & (rb_ == 4)))
+        dl = int(np.sum((ra == 4) & (rb_ != 4)))
+        aln = ra.shape[0]
+        qlen = len(unit.reads[rid])
+        fh.write(f"{names[rid]}\t+\t{qlen}\t0\t{qlen}\t{cnsid}\t+\t{len(cns)}"
+                 f"\t{beg}\t{end}\t{sc}\t{mat / (aln + 1):.3f}"
+                 f"\t{mat}\t{mis}\t{ins}\t{dl}\n")
+        fh.write(f"Q\t{_row_str(ra)}\n")
+        fh.write(f"T\t{_row_str(rb_)}\n")
+        mline = np.full(aln, ord(" "), np.uint8)
+        mline[(ra == 4) | (rb_ == 4)] = ord("-")
+        mline[m_col & (ra != rb_)] = ord("*")
+        fh.write("M\t" + mline.tobytes().decode() + "\n\n")
+        if vmsa is not None:
+            # interior of each match run: >margin columns from the nearest
+            # indel/alignment end on both sides (wtcns.c:627-668 lc logic)
+            runs = m_col.astype(np.int32)
+            left = np.zeros(aln, np.int32)
+            acc = 0
+            for j in range(aln):          # run-distance from run start
+                acc = acc + 1 if runs[j] else 0
+                left[j] = acc
+            right = np.zeros(aln, np.int32)
+            acc = 0
+            for j in range(aln - 1, -1, -1):
+                acc = acc + 1 if runs[j] else 0
+                right[j] = acc
+            counted = m_col & (left > margin) & (right > margin)
+            cpos = np.cumsum(rb_ != 4) - 1 + beg   # cns position per column
+            sel = counted & (ra < 4)
+            np.add.at(bases, (ra[sel], cpos[sel]), 1)
+            counted_rows[rid] = (counted, cpos)
+    if vmsa is not None and rows:
+        order = np.argsort(bases, axis=0)
+        a_ = order[3]
+        b_ = order[2]
+        cnt_a = bases[a_, np.arange(len(cns))]
+        cnt_b = bases[b_, np.arange(len(cns))]
+        keys = (a_ != b_) & (cnt_b >= min_cnt) & (cnt_b >= min_freq * cnt_a)
+        key_idx = np.nonzero(keys)[0]
+        rank = np.cumsum(keys) - keys                 # rank before position
+        for rid, sc, beg, end, ra, rb_ in sorted(rows, key=lambda r: r[2]):
+            counted, cpos = counted_rows[rid]
+            line = ["-"] * len(key_idx)
+            in_t = rb_ != 4
+            kmask = np.isin(cpos, key_idx) & in_t
+            for j in np.nonzero(kmask)[0]:
+                ki = int(rank[cpos[j]])
+                if not counted[j]:
+                    line[ki] = "-"
+                elif ra[j] == rb_[j]:
+                    line[ki] = "."
+                else:
+                    line[ki] = "ACGT-"[min(int(ra[j]), 4)]
+            fh.write(f"MATRIX\t{names[rid]}\t" + "".join(line) + "\n")
 
 
 def write_cns(path: str, results):

@@ -64,6 +64,43 @@ def test_consensus_improves_identity(unit_and_truth):
     assert 0.9 * len(truth) < len(cns) < 1.1 * len(truth)
 
 
+def test_final_alignment_output(unit_and_truth, tmp_path):
+    """wtcns -a/-V: per-read records + Q/T/M rows + variant MATRIX
+    (reference wtcns.c:586-722)."""
+    import io
+
+    from smartdenovo_tpu.pipeline.cns import run_cns
+
+    unit, truth = unit_and_truth
+    p = CnsParams(n_iter=2, batch_reads=16)
+    aln = tmp_path / "out.aln"
+    res = run_cns([unit], p, aln_path=str(aln), vmsa=2.05)
+    assert res and res[0][0] == "utg0"
+    text = aln.read_text().splitlines()
+    recs = [l for l in text if l and not l[0] in "QTM" and "\t" in l
+            and not l.startswith("MATRIX")]
+    qrows = [l for l in text if l.startswith("Q\t")]
+    trows = [l for l in text if l.startswith("T\t")]
+    mrows = [l for l in text if l.startswith("M\t")]
+    mats = [l for l in text if l.startswith("MATRIX\t")]
+    assert len(recs) == len(qrows) == len(trows) == len(mrows)
+    assert len(recs) >= 0.8 * len(unit.reads)
+    assert len(mats) == len(recs)
+    # 16 columns, coherent coordinates, aligned rows equal length
+    cols = recs[0].split("\t")
+    assert len(cols) == 16 and cols[1] == "+" and cols[6] == "+"
+    mat, mis, ins, dl = (int(c) for c in cols[12:16])
+    q0, t0 = qrows[0][2:], trows[0][2:]
+    assert len(q0) == len(t0) == len(mrows[0]) - 2
+    assert mat + mis + ins + dl == len(q0)
+    assert mat + mis + ins == int(cols[4]) - int(cols[3])  # read span
+    assert mat + mis + dl == int(cols[9]) - int(cols[8])   # cns span
+    # matrix rows all have the same width (the key-column count)
+    widths = {len(l.split("\t")[2]) if len(l.split("\t")) > 2 else 0
+              for l in mats}
+    assert len(widths) == 1
+
+
 def test_parse_lay_roundtrip(tmp_path):
     from smartdenovo_tpu.pipeline.cns import parse_lay_file
 

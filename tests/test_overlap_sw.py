@@ -69,13 +69,45 @@ def test_sw_coords_are_dovetails(sw_overlaps):
 
 
 def test_wtext_reextends(sw_overlaps):
+    """Near-dovetail overlaps extend toward the read ends (wtext.c:248-282)."""
     from smartdenovo_tpu.pipeline.ext import ExtParams, run_ext
 
     rb, overlaps = sw_overlaps
-    ext = run_ext(rb, overlaps[:20], ExtParams(batch_q=4, cand_cap=8, band_w=128))
-    assert len(ext) >= 0.6 * len(overlaps[:20])
-    for ov in ext:
-        l1, l2 = rb.lengths[ov.rid1], rb.lengths[ov.rid2]
-        assert 0 <= ov.beg1 < ov.end1 <= l1
-        assert 0 <= ov.beg2 < ov.end2 <= l2
-        assert ov.score >= 200
+    # shrink each overlap 200bp inward: ext must recover most of it
+    shrunk = []
+    for ov in overlaps[:20]:
+        s = 200
+        if ov.end1 - ov.beg1 <= 3 * s or ov.end2 - ov.beg2 <= 3 * s:
+            continue
+        import dataclasses as _dc
+        o2 = _dc.replace(ov, beg1=ov.beg1 + s, end1=ov.end1 - s,
+                         beg2=ov.beg2 + s, end2=ov.end2 - s,
+                         cigar=f"{max(ov.end1 - ov.beg1, ov.end2 - ov.beg2) - 2 * s}M")
+        shrunk.append(o2)
+    assert shrunk
+    ext = run_ext(rb, shrunk, params=ExtParams(band_w=128))
+    assert len(ext) >= 0.8 * len(shrunk)
+    recovered = 0
+    for ov, old in zip(ext, shrunk):
+        l1, l2 = int(rb.lengths[ov.rid1]), int(rb.lengths[ov.rid2])
+        assert 0 <= ov.beg1 <= ov.end1 <= l1
+        assert 0 <= ov.beg2 <= ov.end2 <= l2
+        # real stats now: column counts consistent with coordinates
+        assert ov.mat + ov.mis + ov.ins == ov.end1 - ov.beg1
+        assert ov.mat + ov.mis + ov.dl == ov.end2 - ov.beg2
+        if (ov.end1 - ov.beg1) > (old.end1 - old.beg1) + 150:
+            recovered += 1
+    assert recovered >= 0.6 * len(ext), f"{recovered}/{len(ext)} extended"
+
+
+def test_wtext_respects_clips(sw_overlaps):
+    """Clip masks trim overlap coordinates into the clipped frame."""
+    from smartdenovo_tpu.pipeline.ext import ExtParams, run_ext
+
+    rb, overlaps = sw_overlaps
+    ov = max(overlaps, key=lambda o: o.end1 - o.beg1)
+    clips = {rb.names[ov.rid1]: (100, int(rb.lengths[ov.rid1]) - 200)}
+    ext = run_ext(rb, [ov], clips=clips, params=ExtParams(band_w=128))
+    if ext:  # the overlap may vanish if it lay in the clipped margin
+        l1c = int(rb.lengths[ov.rid1]) - 200
+        assert 0 <= ext[0].beg1 <= ext[0].end1 <= l1c
