@@ -505,6 +505,191 @@ def extract_zmer_pairs_vtab(
     )
 
 
+def extract_zmer_pairs_sweep(
+    qrids: jnp.ndarray,   # [Q] int32 global read ids of the batch queries
+    qskip: jnp.ndarray,   # [Q] bool padded/dead query rows
+    cands_sorted: jnp.ndarray,  # [Q, A] int32 candidate read ids (pad INT32_MAX)
+    rm_zsd: jnp.ndarray,  # [P] int32 zmer<<9|span<<1|dir, (rd, zmer)-sorted
+    rm_pk: jnp.ndarray,   # [P] int32 off<<9|span<<1|dir, same order
+    rm_rd: jnp.ndarray,   # [P] int32 read id per posting
+    rm_start: jnp.ndarray,  # [R+1] int32 CSR per-read posting offsets
+    read_lens: jnp.ndarray,  # [R] int32
+    *,
+    cross_budget: int,    # >= sum over batch query postings of global freq
+    occ_budget: int,      # >= total query zmer postings this batch
+    kvar: int = 2,
+    zbits: int = 20,      # 2*zsize
+) -> PairBatch:
+    """Index-sweep z-mer matcher: iterate the WHOLE posting index once per
+    batch (sequentially) and probe a per-batch zmer -> query-occurrence
+    table.
+
+    TPU rationale (measured: the candidate-side vtab matcher runs at
+    ~80 ns/element, bound by 2 random gathers into ~20-60 MB arrays):
+      - candidate-side expansion repeats each read's postings once per
+        query it is candidate of (~Q*A/R times per batch); sweeping the
+        index visits each posting once per batch — ~5x less mass at Q=64;
+      - the sweep side reads rm_* arrays in order (monotone gathers);
+      - the random probes hit small tables (the 4 MB zmer-start table,
+        the batch occurrence list, the [Q, R] slot table) instead of the
+        20-60 MB posting/vt arrays.
+    Semantics match the reference per-pair n x m zmer co-occurrence with
+    span tolerance (hzm_aln.h:114-240): every (query occurrence,
+    candidate posting) pair of a shared zmer is emitted.
+    """
+    from .flatops import expand_ranges
+
+    Q = qrids.shape[0]
+    A = cands_sorted.shape[1]
+    R = read_lens.shape[0]
+    P = rm_zsd.shape[0]
+    BIGP = jnp.int32(Q * A * 2)
+    ZS = 1 << zbits
+
+    # ---- slot table: (q, rd) -> candidate slot + 1 ---------------------
+    qi = jnp.arange(Q, dtype=jnp.int32)[:, None]
+    slot_i = jnp.arange(A, dtype=jnp.int32)[None, :]
+    cok = (cands_sorted >= 0) & (cands_sorted < R) & ~qskip[:, None]
+    slot_table = jnp.zeros((Q, R + 1), jnp.int8).at[
+        jnp.where(cok, qi, Q - 1).reshape(-1),
+        jnp.where(cok, jnp.clip(cands_sorted, 0, R - 1), R).reshape(-1),
+    ].set(jnp.broadcast_to((slot_i + 1).astype(jnp.int8), (Q, A)).reshape(-1),
+          mode="drop")
+
+    # ---- batch query occurrence table, zmer-sorted ---------------------
+    r = jnp.clip(qrids, 0, R - 1)
+    qcnt = jnp.where(qskip, 0, rm_start[r + 1] - rm_start[r])
+    qsrc, qwithin, qalive, qtotal = expand_ranges(qcnt, occ_budget)
+    qidx = jnp.clip(rm_start[r][qsrc] + qwithin, 0, P - 1)
+    qz = jnp.where(qalive, rm_zsd[qidx] >> 9, jnp.int32(ZS))
+    qpk0 = jnp.where(qalive, rm_pk[qidx], 0)
+    qz, occ_q, occ_pk = jax.lax.sort(
+        (qz, jnp.where(qalive, qsrc, Q), qpk0), num_keys=1)
+    bq_cnt = jnp.zeros(ZS + 1, jnp.int32).at[jnp.minimum(qz, ZS)].add(
+        1, mode="drop")[:ZS]
+    bq_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(bq_cnt).astype(jnp.int32)])
+
+    # ---- sweep: expand (posting x query occurrence) --------------------
+    return _sweep_emit(qrids, cands_sorted, slot_table,
+                       rm_zsd, rm_pk, rm_rd, rm_start, read_lens,
+                       bq_cnt, bq_start, occ_q, occ_pk, qtotal,
+                       cross_budget=cross_budget, kvar=kvar, zbits=zbits)
+
+
+def build_query_occ_rows(qz_rows, qpk_rows, qvalid, *, occ_budget: int,
+                         zbits: int, max_per_read: int):
+    """Zmer-sorted occurrence table from [Q, L] query seed rows.
+
+    Used by the sharded driver, where the query's postings may live on a
+    different index shard: occurrences come from the batch's own seed
+    extraction.  Applies the per-(read, zmer) frequency cap exactly like
+    the index build (hzm_aln.h:107) so sharded matching equals the
+    single-chip sweep.
+    """
+    Q, L = qz_rows.shape
+    ZS = 1 << zbits
+    qf = jnp.where(qvalid, qz_rows.astype(jnp.int32), jnp.int32(ZS)).reshape(-1)
+    qq = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[:, None],
+                          (Q, L)).reshape(-1)
+    pk = qpk_rows.reshape(-1)
+    # sort by (q, zmer) to apply the per-(q, zmer) cap on runs
+    key = jnp.where(qf < ZS, qq * (ZS + 1) + qf, Q * (ZS + 1) + ZS)
+    key, qf2, qq2, pk2 = jax.lax.sort((key, qf, qq, pk), num_keys=1)
+    new = jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]])
+    gid = jnp.cumsum(new.astype(jnp.int32)) - 1
+    gcnt = jax.ops.segment_sum(
+        (qf2 < ZS).astype(jnp.int32), jnp.where(qf2 < ZS, gid, Q * L),
+        num_segments=Q * L + 1)[: Q * L]
+    keep = (qf2 < ZS) & (gcnt[jnp.clip(gid, 0, Q * L - 1)] < max_per_read)
+    qf3 = jnp.where(keep, qf2, ZS)
+    # re-sort by zmer alone for the occurrence table
+    qz, occ_q, occ_pk = jax.lax.sort(
+        (qf3, jnp.where(keep, qq2, Q), pk2), num_keys=1)
+    qtotal = jnp.sum(keep.astype(jnp.int32))
+    bq_cnt = jnp.zeros(ZS + 1, jnp.int32).at[jnp.minimum(qz, ZS)].add(
+        1, mode="drop")[:ZS]
+    bq_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(bq_cnt).astype(jnp.int32)])
+    # clip the table to occ_budget width (callers size it to fit)
+    return (bq_cnt, bq_start, occ_q[:occ_budget], occ_pk[:occ_budget], qtotal)
+
+
+def extract_zmer_pairs_sweep_rows(
+    qrids, cands_sorted, occ_tables,
+    rm_zsd, rm_pk, rm_rd, rm_start, read_lens,
+    *, cross_budget: int, kvar: int = 2, zbits: int = 20,
+) -> PairBatch:
+    """Sweep matcher with a precomputed occurrence table (sharded path)."""
+    Q = qrids.shape[0]
+    A = cands_sorted.shape[1]
+    R = read_lens.shape[0]
+    bq_cnt, bq_start, occ_q, occ_pk, qtotal = occ_tables
+    qi = jnp.arange(Q, dtype=jnp.int32)[:, None]
+    slot_i = jnp.arange(A, dtype=jnp.int32)[None, :]
+    cok = (cands_sorted >= 0) & (cands_sorted < R)
+    slot_table = jnp.zeros((Q, R + 1), jnp.int8).at[
+        jnp.where(cok, qi, Q - 1).reshape(-1),
+        jnp.where(cok, jnp.clip(cands_sorted, 0, R - 1), R).reshape(-1),
+    ].set(jnp.broadcast_to((slot_i + 1).astype(jnp.int8), (Q, A)).reshape(-1),
+          mode="drop")
+    return _sweep_emit(qrids, cands_sorted, slot_table,
+                       rm_zsd, rm_pk, rm_rd, rm_start, read_lens,
+                       bq_cnt, bq_start, occ_q, occ_pk, qtotal,
+                       cross_budget=cross_budget, kvar=kvar, zbits=zbits)
+
+
+def _sweep_emit(qrids, cands_sorted, slot_table, rm_zsd, rm_pk, rm_rd,
+                rm_start, read_lens, bq_cnt, bq_start, occ_q, occ_pk, qtotal,
+                *, cross_budget: int, kvar: int, zbits: int):
+    from .flatops import expand_ranges
+
+    Q = qrids.shape[0]
+    A = cands_sorted.shape[1]
+    R = read_lens.shape[0]
+    P = rm_zsd.shape[0]
+    BIGP = jnp.int32(Q * A * 2)
+    ZS = 1 << zbits
+    occ_budget = occ_q.shape[0]
+    live_p = jnp.arange(P, dtype=jnp.int32) < rm_start[jnp.minimum(
+        R, rm_start.shape[0] - 1)]
+    z_p = jnp.where(live_p, rm_zsd >> 9, ZS)
+    cnt_p = jnp.where(live_p, bq_cnt[jnp.clip(z_p, 0, ZS - 1)], 0)
+    src, within, alive, total = expand_ranges(cnt_p, cross_budget)
+    src_c = jnp.clip(src, 0, P - 1)
+    z_e = z_p[src_c]                                   # monotone gather
+    cpk = rm_pk[src_c]                                 # monotone gather
+    rd_e = rm_rd[src_c]                                # monotone gather
+    occ_idx = jnp.clip(bq_start[jnp.clip(z_e, 0, ZS - 1)] + within,
+                       0, occ_budget - 1)
+    q_e = occ_q[occ_idx]                               # small-table gather
+    qpk = occ_pk[occ_idx]                              # small-table gather
+    q_ec = jnp.clip(q_e, 0, Q - 1)
+    slot = slot_table[q_ec, jnp.clip(rd_e, 0, R)].astype(jnp.int32) - 1
+    q_span = (qpk >> 1) & 0xFF
+    p_span = (cpk >> 1) & 0xFF
+    ok = (
+        alive & (q_e < Q) & (slot >= 0)
+        & (rd_e != qrids[q_ec])
+        & (jnp.abs(q_span - p_span) <= kvar)
+    )
+    pairdir = (qpk ^ cpk) & 1
+    cln = read_lens[jnp.clip(rd_e, 0, R - 1)]
+    p_off = cpk >> 9
+    o2 = jnp.where(pairdir == 1, cln - (p_off + p_span), p_off)
+    pair_id = jnp.where(ok, (q_ec * A + slot) * 2 + pairdir, BIGP)
+    return PairBatch(
+        pair_id=pair_id,
+        off1=qpk >> 9,
+        off2=o2,
+        len1=q_span,
+        len2=p_span,
+        match_cnt=jnp.zeros(Q * A * 2, jnp.int32),
+        total=total,
+        expand_total=qtotal,
+    )
+
+
 # ---------------------------------------------------------------------------
 # phases 3-5: blocks, merge, chain
 # ---------------------------------------------------------------------------

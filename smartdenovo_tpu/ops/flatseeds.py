@@ -124,20 +124,22 @@ class DeviceIndexes(NamedTuple):
     k_kmers: jnp.ndarray   # [T] uint32
     k_rd: jnp.ndarray      # [T] int32
     k_dir: jnp.ndarray     # [T] int8
-    # z10 read-major index for the sort-join matcher
+    # z10 read-major index for the sort-join / sweep matchers
     rm_zsd: jnp.ndarray    # [T] int32 zmer<<9|span<<1|dir, (rd, zmer) sorted
     rm_pk: jnp.ndarray     # [T] int32 off<<9|span<<1|dir
+    rm_rd: jnp.ndarray     # [T] int32 read id per posting (sweep matcher)
     rm_start: jnp.ndarray  # [Npad+1] int32 CSR (live groups only)
     # stats pack (host fetches this one small array):
     # [0:n]=per-read z-counts, [n:2n]=per-read k16 expansion need,
     # [2n:3n]=per-read live k16 probe counts, [3n:4n]=per-read compressed
-    # lengths, [4n]=max comp len, [4n+1]=k16 max_freq used,
-    # [4n+2]=total k postings
-    stats: jnp.ndarray     # [4*Npad+3] int32
+    # lengths, [4n:5n]=per-read cross mass (sum of global zmer freq over
+    # the read's kept postings — exact sweep-matcher budget),
+    # [5n]=max comp len, [5n+1]=k16 max_freq used, [5n+2]=total k postings
+    stats: jnp.ndarray     # [5*Npad+3] int32
 
 
 @functools.partial(jax.jit, static_argnames=("max_kmer_freq", "max_zmer_freq",
-                                             "ksave"))
+                                             "ksave", "zbits"))
 def build_indexes_device(
     k16: FlatSeeds,
     z10: FlatSeeds,
@@ -145,6 +147,7 @@ def build_indexes_device(
     ksave: int = 4,
     max_kmer_freq: int = 0,
     max_zmer_freq: int = 16,
+    zbits: int = 20,       # 2*zsize (zmer value space; zsize <= 12)
 ) -> DeviceIndexes:
     """Sort + filter both posting indexes on device (no host round trips).
 
@@ -206,12 +209,22 @@ def build_indexes_device(
 
     rm_zsd = zscat((zk2 << 9) | ((zaux & 0x1FF) >> 1 << 1) | (zaux & 1))
     rm_pk = zscat(zaux)
+    rm_rd = zscat(zk1)
     zrd = jnp.where(keepz, zk1, Npad)
     zcnt_per_rd = jax.ops.segment_sum(keepz.astype(jnp.int32), zrd,
                                       num_segments=Npad + 1)[:Npad]
     rm_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(zcnt_per_rd).astype(jnp.int32)]
     )
+    # global zmer frequency (direct-addressed, zsize <= 12) -> per-read
+    # cross mass: SUM over the read's kept postings of the global freq of
+    # that zmer == the sweep matcher's exact expansion size for the read
+    zspace = 1 << zbits
+    zfreq = jnp.zeros(zspace + 1, jnp.int32).at[
+        jnp.where(keepz, jnp.minimum(zk2, zspace), zspace)
+    ].add(1, mode="drop")
+    gfreq = jnp.where(keepz, zfreq[jnp.clip(zk2, 0, zspace)], 0)
+    cross_per_rd = jax.ops.segment_sum(gfreq, zrd, num_segments=Npad + 1)[:Npad]
     comp_len = k16.comp_start[1:] - k16.comp_start[:-1]
     kprobes = jax.ops.segment_sum(
         kval.astype(jnp.int32), k16.comp_rd, num_segments=Npad + 1)[:Npad]
@@ -220,12 +233,13 @@ def build_indexes_device(
         kneed,
         kprobes,
         comp_len,
+        cross_per_rd,
         jnp.stack([jnp.max(comp_len), cutoff.astype(jnp.int32),
                    n_post.astype(jnp.int32)]),
     ])
     return DeviceIndexes(
         k_kmers=kk2, k_rd=k_rd, k_dir=(krdpk2 & 1).astype(jnp.int8),
-        rm_zsd=rm_zsd, rm_pk=rm_pk, rm_start=rm_start,
+        rm_zsd=rm_zsd, rm_pk=rm_pk, rm_rd=rm_rd, rm_start=rm_start,
         stats=stats,
     )
 

@@ -42,7 +42,7 @@ from ..ops.flatseeds import (flat_seeds, build_indexes_device,
                              DeviceIndexes)
 from ..ops.candidates import scan_candidates
 from ..ops.dotmatrix import (extract_zmer_pairs_join, extract_zmer_pairs_vtab,
-                             dot_matrix_align)
+                             extract_zmer_pairs_sweep, dot_matrix_align)
 from ..ops.zmo_sw import sw_align_batch
 from ..utils.log import log
 
@@ -90,13 +90,19 @@ class ZmoParams:
     gap_penalty: float = 0.05
     # batching / budgets (TPU shapes).  cand/expand/pair budgets are
     # auto-sized from dataset stats; the legacy fields remain as caps.
-    batch_q: int = 16
+    batch_q: int = 64
+    scan_chunk: int = 16      # batches per device dispatch (lax.scan length);
+                              # one dispatch per chunk — bounds per-dispatch
+                              # device-time/memory, costs ~0.25s tunnel RPC each
     cand_budget: int = 1 << 20          # unused (kept for API compat)
     expand_budget: int = 1 << 22        # unused (kept for API compat)
     expand_budget_cap: int = 1 << 26    # hard memory ceiling
     pair_budget: int = 1 << 20          # unused (kept for API compat)
     nb: int = 32
-    matcher: str = "vtab"     # "vtab" = direct-addressed (q, zmer) table;
+    matcher: str = "sweep"    # "sweep" = index sweep + per-batch occurrence
+                              #   table (sequential index side, small-table
+                              #   probes — fastest measured on TPU);
+                              # "vtab" = direct-addressed (q, zmer) table;
                               # "join" = global sort-join (reference sizes)
 
     # SW (zmo) engine
@@ -164,13 +170,10 @@ _CAND_STATICS = ("Q", "Lc", "A", "Adm", "cbud", "kq", "ksave", "kovl",
                  "len_ratio")
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=_CAND_STATICS)
-def _cand_batch_device(candbuf, sizebuf, bi, rids, qlens, qskip,
-                       k16: FlatSeeds, didx: DeviceIndexes, read_lens,
-                       *, Q, Lc, A, Adm, cbud, kq, ksave, kovl, len_ratio):
-    """Phase 1: candidate selection for one batch.  Stores the sorted
-    top-Adm candidate table and the batch's exact phase-2 sizes."""
+def _cand_core(rids, qlens, qskip, k16, didx, read_lens,
+               *, Q, Lc, A, Adm, cbud, kq, ksave, kovl, len_ratio):
+    """Phase 1 body: candidate selection for one batch.  Returns the
+    sorted top-Adm candidate table and the batch's exact phase-2 sizes."""
     n = read_lens.shape[0]
     qk, qoff, qspan, qdir, qvalid = gather_query_rows(k16, rids, Lc)
     kvalid = qvalid & subsample_mask(qk, ksave)
@@ -190,10 +193,26 @@ def _cand_batch_device(candbuf, sizebuf, bi, rids, qlens, qskip,
     c = jnp.clip(csorted, 0, n - 1)
     zneed = jnp.sum(jnp.where(
         csorted < n, didx.rm_start[c + 1] - didx.rm_start[c], 0))
-    candbuf = candbuf.at[bi].set(csorted.reshape(-1))
-    sizebuf = sizebuf.at[bi].set(jnp.stack([
+    sizes = jnp.stack([
         zneed.astype(jnp.int32), cand_total.astype(jnp.int32),
-        probe_total.astype(jnp.int32), jnp.int32(0)]))
+        probe_total.astype(jnp.int32), jnp.int32(0)])
+    return csorted, sizes
+
+
+@functools.partial(jax.jit, static_argnames=_CAND_STATICS)
+def _cand_scan_device(rids_all, qlens_all, qskip_all, k16: FlatSeeds,
+                      didx: DeviceIndexes, read_lens, **st):
+    """Phase 1 for ALL batches in one dispatch (lax.scan over batches) —
+    on the tunneled TPU each separate dispatch costs ~0.25 s, so the
+    per-batch loop lives inside jit."""
+    def body(_, xs):
+        rids, qlens, qskip = xs
+        csorted, sizes = _cand_core(rids, qlens, qskip, k16, didx,
+                                    read_lens, **st)
+        return None, (csorted.reshape(-1), sizes)
+
+    _, (candbuf, sizebuf) = jax.lax.scan(
+        body, None, (rids_all, qlens_all, qskip_all))
     return candbuf, sizebuf
 
 
@@ -205,9 +224,15 @@ _PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "qkb", "nb", "kvar",
 def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
                *, Q, Lc, Adm, mb, pb, nbk, qkb, nb, kvar, zbits,
                max_per_read, xvar, yvar, min_block_len, max_overhang,
-               deviation_penalty, gap_penalty, matcher="vtab", **_unused):
+               deviation_penalty, gap_penalty, matcher="sweep", **_unused):
     n = read_lens.shape[0]
-    if matcher == "vtab":
+    if matcher == "sweep":
+        pairs = extract_zmer_pairs_sweep(
+            rids, jnp.zeros(Q, bool), csorted,
+            didx.rm_zsd, didx.rm_pk, didx.rm_rd, didx.rm_start, read_lens,
+            cross_budget=pb, occ_budget=mb, kvar=kvar, zbits=zbits,
+        )
+    elif matcher == "vtab":
         pairs = extract_zmer_pairs_vtab(
             rids, csorted,
             didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens,
@@ -252,19 +277,33 @@ def _pair_batch_device(acc, bi, rids, qlens, candbuf, z10, didx, read_lens,
     return acc.at[bi].set(pack)
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,),
-    static_argnames=_PAIR_STATICS + ("C", "Ltier", "W", "match", "mismatch",
-                                     "gap"),
-)
-def _sw_batch_device(acc, bi, rids, qlens, candbuf, z10, didx, read_lens,
-                     flat_bases, read_offs, *, C, Ltier, W, match, mismatch,
-                     gap, **st):
-    """SW-engine batch: dot-matrix chains then banded local DP scoring."""
+@functools.partial(jax.jit, static_argnames=_PAIR_STATICS)
+def _pair_scan_device(rids_all, qlens_all, candbuf, z10, didx, read_lens,
+                      **st):
+    """Phase 2 for ALL batches in one dispatch (see _cand_scan_device)."""
     Q, Adm = st["Q"], st["Adm"]
-    csorted = candbuf[bi].reshape(Q, Adm)
+
+    def body(_, xs):
+        rids, qlens, crow = xs
+        csorted = crow.reshape(Q, Adm)
+        res, totals = _pair_core(rids, qlens, csorted, z10, didx,
+                                 read_lens, **st)
+        pack = jnp.concatenate([
+            res.pair_id, res.score, res.tb, res.te, res.qb, res.qe,
+            res.match_cnt, totals,
+        ])
+        return None, pack
+
+    _, packs = jax.lax.scan(body, None, (rids_all, qlens_all, candbuf))
+    return packs
+
+
+def _sw_core(rids, qlens, csorted, z10, didx, read_lens, flat_bases,
+             read_offs, *, C, Ltier, W, match, mismatch, gap, **st):
+    """SW-engine batch body: dot-matrix chains then banded local DP."""
     res, totals = _pair_core(rids, qlens, csorted, z10, didx, read_lens, **st)
     # materialise the query batch from the flat bank (no host transfer)
+    Q, Adm = st["Q"], st["Adm"]
     rr = jnp.clip(rids, 0, read_lens.shape[0] - 1)
     lanes = jnp.arange(Ltier, dtype=jnp.int32)[None, :]
     pos = read_offs[rr][:, None] + lanes
@@ -278,11 +317,39 @@ def _sw_batch_device(acc, bi, rids, qlens, candbuf, z10, didx, read_lens,
         Q=Q, A=Adm, C=C, Ltier=Ltier, W=W,
         match=match, mismatch=mismatch, gap=gap,
     )
-    pack = jnp.concatenate([
+    return jnp.concatenate([
         sw.cand, sw.dir, sw.chain_score, sw.score, sw.mat,
         sw.beg_a, sw.end_a, sw.beg_b, sw.end_b, totals,
     ])
+
+
+_SW_STATICS = _PAIR_STATICS + ("C", "Ltier", "W", "match", "mismatch", "gap")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=_SW_STATICS)
+def _sw_batch_device(acc, bi, rids, qlens, candbuf, z10, didx, read_lens,
+                     flat_bases, read_offs, **st):
+    Q, Adm = st["Q"], st["Adm"]
+    csorted = candbuf[bi].reshape(Q, Adm)
+    pack = _sw_core(rids, qlens, csorted, z10, didx, read_lens, flat_bases,
+                    read_offs, **st)
     return acc.at[bi].set(pack)
+
+
+@functools.partial(jax.jit, static_argnames=_SW_STATICS)
+def _sw_scan_device(rids_all, qlens_all, candbuf, z10, didx, read_lens,
+                    flat_bases, read_offs, **st):
+    """SW engine for ALL batches in one dispatch (see _cand_scan_device)."""
+    Q, Adm = st["Q"], st["Adm"]
+
+    def body(_, xs):
+        rids, qlens, crow = xs
+        pack = _sw_core(rids, qlens, crow.reshape(Q, Adm), z10, didx,
+                        read_lens, flat_bases, read_offs, **st)
+        return None, pack
+
+    _, packs = jax.lax.scan(body, None, (rids_all, qlens_all, candbuf))
+    return packs
 
 
 # ---------------------------------------------------------------------------
@@ -335,16 +402,17 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     z10 = flat_seeds(flat_d, offs_d, p.zsize, p.hz)
     didx = build_indexes_device(
         k16, z10, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
-        max_zmer_freq=p.max_zmer_freq)
+        max_zmer_freq=p.max_zmer_freq, zbits=2 * p.zsize)
     stats = np.asarray(didx.stats)                 # sync 1: index stats
     zcnt = stats[:Npad][:n].astype(np.int64)
     kneed = stats[Npad: 2 * Npad][:n].astype(np.int64)
     kprobes = stats[2 * Npad: 3 * Npad][:n].astype(np.int64)
     comp_len = stats[3 * Npad: 4 * Npad][:n].astype(np.int64)
-    max_comp = int(stats[4 * Npad])
+    cross = stats[4 * Npad: 5 * Npad][:n].astype(np.int64)
+    max_comp = int(stats[5 * Npad])
     if progress:
         log("indexes: %d k16 postings (freq cutoff %d), %d zmer postings; %.1fs",
-            int(stats[4 * Npad + 2]), int(stats[4 * Npad + 1]),
+            int(stats[5 * Npad + 2]), int(stats[5 * Npad + 1]),
             int(zcnt.sum()), time.time() - t0)
 
     A = p.ncand
@@ -354,7 +422,18 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     qarr = np.arange(n) if parts <= 1 else np.arange(n)[part::parts]
     batches = [qarr[i: i + Q] for i in range(0, len(qarr), Q)]
     B = len(batches)
-    Btier = pad_pow2(B, lo=8)
+    CH = max(1, p.scan_chunk)
+    # pow2 chunk decomposition: every chunk shape compiles once EVER
+    # (disk-cached), and no padded dummy batches are computed
+    chunks = []           # (start, size)
+    c0 = 0
+    while c0 < B:
+        sz = min(CH, 1 << (B - c0).bit_length() - 1)
+        while sz > B - c0:
+            sz >>= 1
+        chunks.append((c0, sz))
+        c0 += sz
+    Btier = B
     sw_engine = p.engine == "sw"
     C = min(p.align_cap, Adm)
     Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
@@ -371,6 +450,9 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         return rids, qlens, qskip
 
     # ---- phase 1: candidates (exact budgets from the stats pack) ----
+    # the whole batch loop runs inside ONE jit (lax.scan) — on the
+    # tunneled TPU each separate dispatch costs ~0.25 s, which dominated
+    # the round-1 runtime at 2 dispatches x 52 batches
     t1 = time.time()
     cbud = min(pad_pow2(max((int(kneed[b].sum()) for b in batches), default=1)
                         + 1024, lo=1 << 14), p.expand_budget_cap)
@@ -378,23 +460,44 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
                   + Q, lo=1 << 12)
     cand_static = dict(Q=Q, Lc=Lc, A=A, Adm=Adm, cbud=cbud, kq=kq,
                        ksave=p.ksave, kovl=p.kovl, len_ratio=p.len_ratio)
-    candbuf = jnp.zeros((Btier, Q * Adm), jnp.int32)
-    sizebuf = jnp.zeros((Btier, 4), jnp.int32)
     all_rids = []
+    rids_all = np.zeros((Btier, Q), np.int32)
+    qlens_all = np.zeros((Btier, Q), np.int32)
+    qskip_all = np.ones((Btier, Q), bool)
     for bi, b in enumerate(batches):
         rids, qlens, qskip = batch_inputs(b)
         all_rids.append(rids)
-        candbuf, sizebuf = _cand_batch_device(
-            candbuf, sizebuf, jnp.int32(bi), jnp.asarray(rids),
-            jnp.asarray(qlens), jnp.asarray(qskip), k16, didx, read_lens_d,
-            **cand_static)
-    sizes = np.asarray(sizebuf)                    # sync 2: phase-2 sizes
+        rids_all[bi] = rids
+        qlens_all[bi] = qlens
+        qskip_all[bi] = qskip
+    cand_chunks = []
+    size_chunks = []
+    for c0, sz in chunks:
+        cb, sb = _cand_scan_device(
+            jnp.asarray(rids_all[c0: c0 + sz]),
+            jnp.asarray(qlens_all[c0: c0 + sz]),
+            jnp.asarray(qskip_all[c0: c0 + sz]),
+            k16, didx, read_lens_d, **cand_static)
+        cand_chunks.append(cb)
+        size_chunks.append(sb)
+    candbuf = jnp.concatenate(cand_chunks) if len(cand_chunks) > 1 else cand_chunks[0]
+    if p.matcher == "sweep":
+        # the sweep matcher's budgets come straight from the index stats
+        # (per-read cross mass) — no phase-1 -> phase-2 sizing sync needed
+        sizes = None
+    else:
+        sizes = np.asarray(jnp.concatenate(size_chunks)
+                           if len(size_chunks) > 1 else size_chunks[0])
+        # sync 2: phase-2 sizes
+    t2 = time.time()
+    if progress:
+        log("phase1 done: %.1fs", t2 - t1)
 
     # ---- phase 2: zmer match + dot-matrix at per-batch-tier budgets ----
-    if p.matcher == "vtab":
-        # query zmer mass per batch (vt build axis)
-        qkb = pad_pow2(max((int(zcnt[b].sum()) for b in batches), default=1)
-                       + Q, lo=1 << 12)
+    if p.matcher in ("vtab", "sweep"):
+        # query zmer mass per batch (vt build / sweep occurrence axis)
+        qkb = pad_pow2(max((int(zcnt[rids_all[bi]].sum()) for bi in range(Btier)),
+                           default=1) + Q, lo=1 << 12)
     else:
         qkb = pad_pow2(max((int(comp_len[b].sum()) for b in batches),
                            default=1) + Q, lo=1 << 12)
@@ -409,27 +512,63 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         pair_static.update(C=C, Ltier=Ltier, W=p.band_w, match=p.sw_match,
                            mismatch=p.sw_mismatch, gap=p.sw_gap)
     K = (9 * Q * C + 4) if sw_engine else (7 * NP + 4)
-    acc = jnp.zeros((Btier, K), jnp.int32)
 
     def pair_budgets(zneed):
+        # measured on the bench set: match mass ~0.53x expansion, blocks
+        # ~0.18x matches — budget each phase near its true width (random
+        # access costs scale with budget width); the overflow redispatch
+        # below catches the tail
         mb = min(pad_pow2(int(zneed) + 1024, lo=1 << 14), p.expand_budget_cap)
-        return dict(mb=mb, pb=mb, nbk=max(mb // 4, 1 << 14))
+        # pow2 tier of 0.8x the expansion: lands at mb/2 when the batch's
+        # match ratio (max measured 0.73) fits, else mb
+        pb = min(pad_pow2(int(zneed) * 4 // 5 + 1024, lo=1 << 14), mb)
+        return dict(mb=mb, pb=pb, nbk=max(pb // 4, 1 << 14))
 
-    def dispatch_pair(acc, bi, rids, qlens, st):
+    def sweep_budgets(bi_lo, bi_hi):
+        # sweep matcher: mb = occurrence axis (sum of batch query z-counts),
+        # pb = cross axis (sum of per-read global-freq mass — exact bound)
+        occ = max(int(zcnt[rids_all[bi]].sum()) for bi in range(bi_lo, bi_hi))
+        cx = max(int(cross[rids_all[bi]].sum()) for bi in range(bi_lo, bi_hi))
+        mb = pad_pow2(occ + Q, lo=1 << 12)
+        pb = min(pad_pow2(cx + 1024, lo=1 << 14), p.expand_budget_cap)
+        return dict(mb=mb, pb=pb, nbk=max(pb // 4, 1 << 14))
+
+    def dispatch_pair(acc, bi, rids, qlens, st, cb=None):
         args = (acc, jnp.int32(bi), jnp.asarray(rids), jnp.asarray(qlens),
-                candbuf, z10, didx, read_lens_d)
+                cb if cb is not None else candbuf, z10, didx, read_lens_d)
         if sw_engine:
             return _sw_batch_device(*args, flat_d, offs_d, **st)
         return _pair_batch_device(*args, **st)
 
-    batch_static = []
-    for bi, b in enumerate(batches):
-        st = {**pair_static, **pair_budgets(sizes[bi, 0])}
-        batch_static.append(st)
-        acc = dispatch_pair(acc, bi, all_rids[bi],
-                            rb.lengths[all_rids[bi]].astype(np.int32), st)
-    packs = np.asarray(acc)                        # sync 3: results
+    # budget tier per CHUNK: batches are length-ordered, so chunks are
+    # homogeneous — the first (longest-read) chunk pays its big tier while
+    # the rest run at their own smaller tiers.  Distinct tiers are few
+    # (pow2), so the scan body compiles once per tier, cached on disk.
+    batch_static = [None] * B
+    pack_chunks = []
+    for ci, (c0, sz) in enumerate(chunks):
+        if p.matcher == "sweep":
+            bud = sweep_budgets(c0, c0 + sz)
+        else:
+            bud = pair_budgets(int(sizes[c0: c0 + sz, 0].max()))
+        for bi in range(c0, c0 + sz):
+            batch_static[bi] = {**pair_static, **bud}
+        scan_args = (jnp.asarray(rids_all[c0: c0 + sz]),
+                     jnp.asarray(qlens_all[c0: c0 + sz]),
+                     cand_chunks[ci], z10, didx, read_lens_d)
+        if sw_engine:
+            pk = _sw_scan_device(*scan_args, flat_d, offs_d,
+                                 **pair_static, **bud)
+        else:
+            pk = _pair_scan_device(*scan_args, **pair_static, **bud)
+        pack_chunks.append(pk)
+    packs_d = (jnp.concatenate(pack_chunks) if len(pack_chunks) > 1
+               else pack_chunks[0])
+    packs = np.array(packs_d)                      # sync 3: results (copy:
+                                                   # redispatch writes rows)
     csorted_all = np.asarray(candbuf)              # sync 4: candidate tables
+    if progress:
+        log("phase2 done: %.1fs", time.time() - t2)
     if progress:
         log("overlap device pipeline: %d batches in %.1fs", B, time.time() - t1)
 
@@ -452,7 +591,8 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
                 bi, ptot, etot, btot)
             tmp = jnp.zeros((1, K), jnp.int32)
             tmp = dispatch_pair(tmp, 0, all_rids[bi],
-                                rb.lengths[all_rids[bi]].astype(np.int32), st2)
+                                rb.lengths[all_rids[bi]].astype(np.int32), st2,
+                                cb=candbuf[bi: bi + 1])
             packs[bi] = np.asarray(tmp)[0]
 
     # ---- host emission (sequential reference semantics) ----
