@@ -1,84 +1,49 @@
 """Multi-chip sharded overlap step — the pod-scale execution path.
 
-Design (SURVEY.md §5.8, replacing the reference's -P/-p job split +
--G index partitioning, wtzmo.c:1431-1463):
+Design (SURVEY.md §5.8; replaces the reference's -P/-p job split and -G
+index partitioning, wtzmo.c:1431-1463) — EXACT single-chip semantics:
 
-  mesh axes:  rd  — data parallel over query reads
-              idx — the k-mer/z-mer posting index sharded by
-                    jenkins(kmer) % n_idx (the same smear used for the
-                    reference's subsampling, wtzmo.c:270)
+  mesh axes:  rd  — data parallel over query batches
+              idx — the read bank (and both posting indexes) sharded by
+                    contiguous read-id blocks
 
-  step:  every (rd, idx) device scans its query shard against its index
-         shard; per-candidate coverage partials are psum'd over `idx`,
-         top-A candidates are picked locally per rd shard; z-mer seed
-         pairs are extracted per index shard and all-gathered over `idx`
-         so each rd shard chains its own pairs' dot-matrix alignment.
-         Overlap records stay sharded over `rd` (gathered by the host at
-         the end of the stage, like the reference's file concatenation).
+  Sharding the index by READ ID (not kmer hash) makes candidate scoring
+  local-exact: a candidate's postings live entirely on its own shard, so
+  the per-(query, candidate) k-mer union length — the reference's
+  coverage score (wtzmo.c:1251-1357) — is computed exactly by one shard.
+  The step then needs only two collectives:
 
-Collectives ride the ICI mesh; no host round-trips inside a step.
+    1. all_gather over `idx` of each shard's local top-A candidate list
+       -> exact global top-A per query (a candidate appears on exactly
+       one shard, so merging per-shard top-A lists is lossless);
+    2. psum over `idx` of the positional dot-matrix result arrays (each
+       pair is chained by exactly one shard, the candidate's).
+
+  Everything else is the single-chip pipeline (ops/candidates
+  scan_candidates, ops/dotmatrix sweep matcher + dot_matrix_align) run
+  per shard — no approximations, no dense [Q, n_reads] buffers, no
+  candidate caps beyond the single-chip -A itself.
 """
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.seeds import jenkins_hash_u32
-from ..ops.dotmatrix import PairBatch, dot_matrix_align
+from ..ops.candidates import scan_candidates
+from ..ops.dotmatrix import (build_query_occ_rows, dot_matrix_align,
+                             extract_zmer_pairs_sweep_rows)
+from ..ops.flatseeds import flat_seeds, build_indexes_device, pad_pow2
+from ..ops.seeds import extract_seeds, subsample_mask
+from ..utils.log import log
 
-
-class ShardedIndex(NamedTuple):
-    """Posting index sharded by kmer-hash range; equal-size shards."""
-
-    kmers: jnp.ndarray     # [S, Pp] uint32 sorted within shard (pad 0xFFFFFFFF)
-    post_rd: jnp.ndarray   # [S, Pp] int32
-    post_dir: jnp.ndarray  # [S, Pp] int8
-    post_off: jnp.ndarray  # [S, Pp] int32
-    post_span: jnp.ndarray # [S, Pp] int32
-
-
-def shard_index(kmers, post_rd, post_dir, post_off, post_span, n_shards: int) -> ShardedIndex:
-    """Partition sorted postings by jenkins(kmer) % n_shards, re-sorting
-    each shard by (kmer, rd)."""
-    kmers = np.asarray(kmers)
-    h = np.zeros(len(kmers), np.uint32)
-    # jenkins on host (same arithmetic as ops.seeds.jenkins_hash_u32)
-    key = kmers.astype(np.uint64)
-    key = (key + (key << 12)) & 0xFFFFFFFF
-    key ^= key >> 22
-    key = (key + (key << 4)) & 0xFFFFFFFF
-    key ^= key >> 9
-    key = (key + (key << 10)) & 0xFFFFFFFF
-    key ^= key >> 2
-    key = (key + (key << 7)) & 0xFFFFFFFF
-    key ^= key >> 12
-    h = (key % n_shards).astype(np.int64)
-    maxp = max(int((h == s).sum()) for s in range(n_shards)) if len(kmers) else 1
-    maxp = max(1, maxp)
-    Ks = np.full((n_shards, maxp), 0xFFFFFFFF, np.uint32)
-    Rs = np.zeros((n_shards, maxp), np.int32)
-    Ds = np.zeros((n_shards, maxp), np.int8)
-    Os = np.zeros((n_shards, maxp), np.int32)
-    Ss = np.zeros((n_shards, maxp), np.int32)
-    for s in range(n_shards):
-        sel = h == s
-        cnt = int(sel.sum())
-        Ks[s, :cnt] = kmers[sel]
-        Rs[s, :cnt] = np.asarray(post_rd)[sel]
-        Ds[s, :cnt] = np.asarray(post_dir)[sel]
-        if post_off is not None:
-            Os[s, :cnt] = np.asarray(post_off)[sel]
-            Ss[s, :cnt] = np.asarray(post_span)[sel]
-    return ShardedIndex(
-        jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(Ds), jnp.asarray(Os), jnp.asarray(Ss)
-    )
+INT32_MAX = np.int32(0x7FFFFFFF)
 
 
 def make_overlap_mesh(devices=None, idx_shards: int | None = None) -> Mesh:
@@ -92,155 +57,230 @@ def make_overlap_mesh(devices=None, idx_shards: int | None = None) -> Mesh:
     return Mesh(dev, ("rd", "idx"))
 
 
-def sharded_overlap_step(mesh: Mesh, n_reads: int, *, budget: int, pair_budget: int,
-                         ncand: int, kovl: int, nb: int = 16):
-    """Build the jitted multi-chip overlap step for fixed shapes.
+class ShardedBank(NamedTuple):
+    """Per-shard device indexes, stacked on a leading idx axis."""
 
-    Returns a function
-      f(qk, qoff, qspan, qvalid, qdir, qrids, qlens, read_lens, kidx, zidx)
-        -> (cands [Q, A], ols [Q, A], dm_score [Q*A*2... sharded over rd])
-    with qk.. sharded over `rd` on axis 0 and index shards over `idx`.
+    k_kmers: jnp.ndarray   # [S, Ts] uint32
+    k_rd: jnp.ndarray      # [S, Ts] int32 (global read ids)
+    k_dir: jnp.ndarray     # [S, Ts] int8
+    rm_zsd: jnp.ndarray    # [S, Ts] int32
+    rm_pk: jnp.ndarray     # [S, Ts] int32
+    rm_rd: jnp.ndarray     # [S, Ts] int32 (global read ids)
+    rm_start: jnp.ndarray  # [S, n+1] int32 GLOBAL-read CSR (0-width rows
+                           #          for reads owned by other shards)
+    bounds: np.ndarray     # [S+1] shard read-id boundaries (host)
+    stats: np.ndarray      # host copy of per-shard stat packs [S, ...]
+    kneed: np.ndarray      # [n] per-read GLOBAL k16 expansion need
+
+
+def build_sharded_indexes(rb, p, mesh: Mesh) -> ShardedBank:
+    """Build each shard's posting indexes with the single-chip builder.
+
+    Reads are partitioned into contiguous blocks.  Each shard's index is
+    built by the same `build_indexes_device` jit as the single-chip path
+    (one compile — shard tiers are padded to a common size), then stacked
+    and device_put with the idx sharding.
     """
-    A = ncand
+    n = len(rb)
+    S = mesh.devices.shape[1]
+    m = (n + S - 1) // S
+    bounds = np.minimum(np.arange(S + 1) * m, n)
+    # common tier across shards so the builder compiles once
+    Ts = 1
+    shard_sizes = []
+    for s in range(S):
+        lo, hi = bounds[s], bounds[s + 1]
+        total = int(rb.offsets[hi] - rb.offsets[lo])
+        shard_sizes.append((lo, hi, total))
+        Ts = max(Ts, pad_pow2(total + 1))
+    Npad = pad_pow2(n, lo=1 << 8)
+    raw_k: list = []
+    raw_rd: list = []
+    raw_dir: list = []
+    zsd = np.empty((S, Ts), np.int32)
+    zpk = np.empty((S, Ts), np.int32)
+    zrd = np.empty((S, Ts), np.int32)
+    rst = np.zeros((S, n + 1), np.int32)
+    stats_all = []
+    for s, (lo, hi, total) in enumerate(shard_sizes):
+        flat = np.full(Ts, 4, np.uint8)
+        flat[:total] = rb.bases[rb.offsets[lo]: rb.offsets[hi]]
+        offs = np.full(Npad + 1, total, np.int64)
+        offs[: hi - lo + 1] = rb.offsets[lo: hi + 1] - rb.offsets[lo]
+        flat_d = jnp.asarray(flat)
+        offs_d = jnp.asarray(offs.astype(np.int32))
+        k16 = flat_seeds(flat_d, offs_d, p.ksize, p.hz)
+        z10 = flat_seeds(flat_d, offs_d, p.zsize, p.hz)
+        didx = build_indexes_device(
+            k16, z10, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
+            max_zmer_freq=p.max_zmer_freq, zbits=2 * p.zsize)
+        # raw sampled k16 postings (frequency filtering must use GLOBAL
+        # counts — a shard-local filter drops 2-frequency kmers whose two
+        # copies land on different shards, exactly the overlap signal)
+        kval = np.asarray(k16.valid & subsample_mask(k16.kmer, p.ksave))
+        raw_k.append(np.asarray(k16.kmer)[kval])
+        raw_rd.append(np.asarray(k16.comp_rd)[kval] + lo)
+        raw_dir.append((np.asarray(k16.aux)[kval] & 1).astype(np.int8))
+        # local read ids -> global
+        local_n = hi - lo
+        zsd[s] = np.asarray(didx.rm_zsd)
+        zpk[s] = np.asarray(didx.rm_pk)
+        rm_rd_l = np.asarray(didx.rm_rd)
+        st_l = np.asarray(didx.rm_start)
+        n_live_z = int(st_l[local_n])
+        zrd[s] = np.where(np.arange(Ts) < n_live_z, rm_rd_l + lo, n)
+        rst[s, lo: hi + 1] = st_l[: local_n + 1]
+        rst[s, hi + 1:] = st_l[local_n]
+        stats_all.append(np.asarray(didx.stats))
 
-    def step(qk, qspan16, qvalid, zqk, zqoff, zqspan, zqvalid, zqdir,
-             qrids, qlens, read_lens,
-             ik, ir, id_, zk, zr, zd, zo, zs):
-        # ---- candidate partials against the local index shard ----
-        Q, L = qk.shape
-        ik = ik[0]
-        ir = ir[0]
-        flat = qk.reshape(-1)
-        start = jnp.searchsorted(ik, flat, side="left").astype(jnp.int32)
-        end = jnp.searchsorted(ik, flat, side="right").astype(jnp.int32)
-        cnt = jnp.where(qvalid.reshape(-1), end - start, 0)
-        cum = jnp.cumsum(cnt)
-        pidx = jnp.arange(budget, dtype=jnp.int32)
-        src = jnp.clip(jnp.searchsorted(cum, pidx, side="right"), 0, Q * L - 1).astype(jnp.int32)
-        prev = jnp.where(src > 0, cum[src - 1], 0)
-        pi = jnp.clip(start[src] + (pidx - prev.astype(jnp.int32)), 0, ir.shape[0] - 1)
-        alive = pidx < cum[-1]
-        q_local = src // L
-        cand = ir[pi]
-        span = qspan16.reshape(-1)[src]
-        keep = alive & (cand != qrids[q_local]) & (
-            read_lens[jnp.clip(cand, 0, read_lens.shape[0] - 1)] <= (1.2 * qlens[q_local]).astype(jnp.int32)
+    # ---- global k16 frequency filter (reference wtzmo.c:380-418) ----
+    # (host merge here; at pod scale this becomes a psum over a hashed
+    # frequency table — the rule must see GLOBAL counts either way)
+    allk = np.concatenate(raw_k) if raw_k else np.zeros(0, np.uint32)
+    uniq, inv_counts = np.unique(allk, return_counts=True)
+    n_post = int(inv_counts.sum())
+    n_distinct = max(1, len(uniq))
+    kavg = max(n_post // n_distinct, 20)
+    cutoff = (p.max_kmer_freq if p.max_kmer_freq >= 2
+              else max(kavg * 5, 100))
+    keep_kmer = (inv_counts > 1) & (inv_counts <= cutoff)
+    kk = np.full((S, Ts), 0xFFFFFFFF, np.uint32)
+    krd = np.zeros((S, Ts), np.int32)
+    kdr = np.zeros((S, Ts), np.int8)
+    kneed_g = np.zeros(n, np.int64)   # per-read global expansion need
+    for s in range(S):
+        ki = np.searchsorted(uniq, raw_k[s])
+        ok = keep_kmer[ki]
+        km, rd_, dr = raw_k[s][ok], raw_rd[s][ok], raw_dir[s][ok]
+        order = np.lexsort((rd_, km))
+        cnt = len(km)
+        if cnt > Ts:
+            raise ValueError("k16 postings exceed shard tier")
+        kk[s, :cnt] = km[order]
+        krd[s, :cnt] = rd_[order]
+        kdr[s, :cnt] = dr[order]
+        np.add.at(kneed_g, rd_, inv_counts[ki][ok])
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("idx")))
+
+    return ShardedBank(
+        k_kmers=put(kk), k_rd=put(krd), k_dir=put(kdr),
+        rm_zsd=put(zsd), rm_pk=put(zpk), rm_rd=put(zrd),
+        rm_start=put(rst), bounds=bounds, stats=np.stack(stats_all),
+        kneed=kneed_g,
+    )
+
+
+def sharded_overlap_step(mesh: Mesh, *, n_reads: int, Q: int, A: int,
+                         kovl: int, len_ratio: float, ksave: int,
+                         cbud: int, kq: int, occ_budget: int,
+                         cross_budget: int, nbk: int, kvar: int, zbits: int,
+                         max_per_read: int, nb: int, xvar: int, yvar: int,
+                         min_block_len: int, max_overhang: int,
+                         deviation_penalty: float, gap_penalty: float):
+    """Jitted multi-chip overlap step (fixed shapes).
+
+    Per (rd, idx) device: single-chip candidate scan against the local
+    index shard -> all_gather + exact top-A merge -> single-chip sweep
+    matcher + dot-matrix on the local shard -> psum of positional
+    results.  Returns per-rd-shard packed arrays (host emits).
+    """
+    def step(qk, qoff, qspan, qvalid, zk, zoff, zspan, zdir, zvalid,
+             qrids, qlens, qskip, read_lens,
+             ik, ir, id_, rzsd, rzpk, rzrd, rzstart):
+        Ql = qk.shape[0]           # local queries on this rd shard
+        NP = Ql * A * 2
+        ik, ir, id_ = ik[0], ir[0], id_[0]
+        rzsd, rzpk, rzrd, rzstart = rzsd[0], rzpk[0], rzrd[0], rzstart[0]
+        kvalid = qvalid & subsample_mask(qk, ksave)
+        sup0 = jnp.zeros((Ql, 0), jnp.int32)
+        supc0 = jnp.zeros((Ql,), jnp.int32)
+        cands, ols, cand_total, probe_total = scan_candidates(
+            qk, qoff, qspan, kvalid, qrids, qlens, qskip,
+            ik, ir, id_, read_lens, sup0, supc0,
+            budget=cbud, ncand=A, kovl=kovl, len_ratio=len_ratio,
+            probe_budget=kq,
         )
-        # dense partial coverage [Q, n_reads]: approximate union by capped sum
-        seg = jnp.where(keep, q_local * n_reads + cand, Q * n_reads)
-        partial = jax.ops.segment_sum(
-            jnp.where(keep, span, 0), seg, num_segments=Q * n_reads + 1
-        )[: Q * n_reads].reshape(Q, n_reads)
-        total = jax.lax.psum(partial, axis_name="idx")
-        total = jnp.minimum(total, qlens[:, None])
-        total = jnp.where(total >= kovl, total, 0)
-        if n_reads < A:  # tiny banks: pad columns so top_k(A) is valid
-            total = jnp.pad(total, ((0, 0), (0, A - n_reads)))
-        ols, cands = jax.lax.top_k(total, A)
-        cands = jnp.where(ols > 0, cands, -1)
-        # ---- zmer pairs against the local zmer shard ----
-        zk0 = zk[0]
-        zr0 = zr[0]
-        csorted = jnp.sort(jnp.where(cands < 0, jnp.int32(0x7FFFFFFF), cands), axis=1)
-        zflat = zqk.reshape(-1)
-        startz = jnp.searchsorted(zk0, zflat, side="left").astype(jnp.int32)
-        endz = jnp.searchsorted(zk0, zflat, side="right").astype(jnp.int32)
-        cntz = jnp.where(zqvalid.reshape(-1), endz - startz, 0)
-        cumz = jnp.cumsum(cntz)
-        pz = jnp.arange(pair_budget, dtype=jnp.int32)
-        srcz = jnp.clip(jnp.searchsorted(cumz, pz, side="right"), 0, Q * L - 1).astype(jnp.int32)
-        prevz = jnp.where(srcz > 0, cumz[srcz - 1], 0)
-        piz = jnp.clip(startz[srcz] + (pz - prevz.astype(jnp.int32)), 0, zr0.shape[0] - 1)
-        alivez = pz < cumz[-1]
-        qlz = srcz // L
-        crd = zr0[piz]
-        # membership among this query's candidates
-        pos = jnp.searchsorted(
-            csorted, crd[:, None], side="left"
-        ) if False else None
-        # manual per-row binary search
-        lo = jnp.zeros(pair_budget, jnp.int32)
-        hi = jnp.full(pair_budget, A, jnp.int32)
-        for _ in range(max(1, (A - 1).bit_length()) + 1):
-            mid = (lo + hi) >> 1
-            mv = csorted[qlz, jnp.clip(mid, 0, A - 1)]
-            go = (mv < crd) & (mid < hi)
-            lo = jnp.where(go, mid + 1, lo)
-            hi = jnp.where(go, hi, jnp.where(mid < hi, mid, hi))
-        slot = jnp.clip(lo, 0, A - 1)
-        found = csorted[qlz, slot] == crd
-        keepz = alivez & found
-        pdir = (zqdir.reshape(-1)[srcz] ^ (zd[0][piz] != 0)).astype(jnp.int32)
-        clen = read_lens[jnp.clip(crd, 0, read_lens.shape[0] - 1)]
-        o2 = jnp.where(pdir == 1, clen - (zo[0][piz] + zs[0][piz]), zo[0][piz])
-        pair_id = jnp.where(keepz, (qlz * A + slot) * 2 + pdir, Q * A * 2)
-        fields = (
-            pair_id,
-            jnp.where(keepz, zqoff.reshape(-1)[srcz], 0),
-            jnp.where(keepz, o2, 0),
-            jnp.where(keepz, zqspan.reshape(-1)[srcz], 0),
-            jnp.where(keepz, zs[0][piz], 0),
-        )
-        # gather every index shard's pairs onto the rd shard
-        gathered = [
-            jax.lax.all_gather(f, axis_name="idx", axis=0).reshape(-1) for f in fields
-        ]
-        match_cnt = jax.ops.segment_sum(
-            (gathered[0] < Q * A * 2).astype(jnp.int32),
-            jnp.minimum(gathered[0], Q * A * 2),
-            num_segments=Q * A * 2 + 1,
-        )[: Q * A * 2]
-        pairs = PairBatch(
-            pair_id=gathered[0], off1=gathered[1], off2=gathered[2],
-            len1=gathered[3], len2=gathered[4],
-            match_cnt=match_cnt, total=jnp.sum(match_cnt),
-            expand_total=jnp.sum(match_cnt),
-        )
-        qlen_of_pair = jnp.repeat(qlens, A * 2)
-        clen_of_pair = jnp.repeat(
-            read_lens[jnp.clip(csorted, 0, read_lens.shape[0] - 1)].reshape(-1), 2
-        )
+        # ---- exact top-A merge over idx shards ----
+        ag_c = jax.lax.all_gather(cands, axis_name="idx", axis=1)  # [Ql,S,A]
+        ag_o = jax.lax.all_gather(ols, axis_name="idx", axis=1)
+        Sn = ag_c.shape[1]
+        flat_c = ag_c.reshape(Ql, Sn * A)
+        flat_o = jnp.where(flat_c >= 0, ag_o.reshape(Ql, Sn * A), -1)
+        top_o, top_i = jax.lax.top_k(flat_o, A)
+        gc = jnp.take_along_axis(flat_c, top_i, axis=1)
+        gc = jnp.where(top_o > 0, gc, jnp.int32(INT32_MAX))
+        csorted = jnp.sort(gc, axis=1)
+        # ---- single-chip sweep matcher against the local z shard ----
+        occ = build_query_occ_rows(
+            zk, ((zoff << 9) | (jnp.minimum(zspan, 255) << 1)
+                 | zdir.astype(jnp.int32)),
+            zvalid & ~qskip[:, None],
+            occ_budget=occ_budget, zbits=zbits, max_per_read=max_per_read)
+        pairs = extract_zmer_pairs_sweep_rows(
+            qrids, csorted, occ, rzsd, rzpk, rzrd, rzstart, read_lens,
+            cross_budget=cross_budget, kvar=kvar, zbits=zbits)
         res = dot_matrix_align(
-            pairs, qlen_of_pair, clen_of_pair, n_pairs=Q * A * 2, nb=nb,
+            pairs,
+            jnp.repeat(qlens, A * 2),
+            jnp.repeat(jnp.where(
+                csorted < n_reads,
+                read_lens[jnp.clip(csorted, 0, n_reads - 1)], 0
+            ).astype(jnp.int32).reshape(-1), 2),
+            n_pairs=NP, nb=nb, xvar=xvar, yvar=yvar,
+            min_block_len=min_block_len, max_overhang=max_overhang,
+            deviation_penalty=deviation_penalty, gap_penalty=gap_penalty,
+            nbk=nbk,
         )
-        return cands, ols, res.pair_id, res.score, res.tb, res.te, res.qb, res.qe
+        # ---- positional scatter + psum (each pair on exactly 1 shard) ----
+        rows = jnp.minimum(res.pair_id, NP)
 
-    specs_q = P("rd", None)
-    spec_i = P("idx", None)
+        def posit(v):
+            return jnp.zeros(NP + 1, jnp.int32).at[rows].max(
+                v.astype(jnp.int32), mode="drop")[:NP]
+
+        live = (res.pair_id < NP) & (res.score > 0)
+        packed = jnp.stack([
+            posit(jnp.where(live, res.score, 0)),
+            posit(jnp.where(live, res.tb, 0)),
+            posit(jnp.where(live, res.te, 0)),
+            posit(jnp.where(live, res.qb, 0)),
+            posit(jnp.where(live, res.qe, 0)),
+            res.match_cnt,     # already positional [NP]
+        ])
+        packed = jax.lax.psum(packed, axis_name="idx")
+        totals = jax.lax.psum(jnp.stack([
+            pairs.total, pairs.expand_total, res.blk_total,
+            cand_total.astype(jnp.int32)]), axis_name="idx")[None, :]
+        return csorted, packed, totals
+
     fn = shard_map(
         step,
         mesh=mesh,
         in_specs=(
-            specs_q, specs_q, specs_q,                    # k16: qk qspan qvalid
-            specs_q, specs_q, specs_q, specs_q, specs_q,  # zmer: zqk zqoff zqspan zqvalid zqdir
-            P("rd"), P("rd"), P(),                        # qrids qlens read_lens
-            spec_i, spec_i, spec_i,                       # kmer shards
-            spec_i, spec_i, spec_i, spec_i, spec_i,       # zmer shards
+            P("rd", None), P("rd", None), P("rd", None), P("rd", None),
+            P("rd", None), P("rd", None), P("rd", None), P("rd", None),
+            P("rd", None),
+            P("rd"), P("rd"), P("rd"), P(),
+            P("idx"), P("idx"), P("idx"),
+            P("idx"), P("idx"), P("idx"), P("idx"),
         ),
-        out_specs=(
-            P("rd", None), P("rd", None),
-            P("rd"), P("rd"), P("rd"), P("rd"), P("rd"), P("rd"),
-        ),
+        out_specs=(P("rd", None), P(None, "rd"), P("rd", None)),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
-def overlap_sharded(rb, params=None, mesh: Mesh | None = None, progress: bool = True):
-    """Multi-device overlap driver: full all-vs-all via the sharded step.
+def overlap_sharded(rb, params=None, mesh: Mesh | None = None,
+                    progress: bool = True):
+    """Multi-device overlap driver with single-chip-identical semantics.
 
-    Batches of queries stream over the `rd` axis while the posting index
-    stays sharded over `idx`; host post-processing applies the same
-    score/identity filters and pair dedup as the single-chip driver.
-    Candidate coverage uses the capped-sum approximation (psum over idx
-    shards), so candidate sets can differ slightly from the single-chip
-    union-length scoring; final overlaps are still dot-matrix-scored.
+    Streams query batches over the rd axis against the idx-sharded bank;
+    host emission reuses the single-chip `_emit_batch_dm` (same nbest /
+    ledger / dedup replay), so the pair set equals `overlap_dmo`'s.
     """
-    from ..data.readbank import ReadBank
-    from ..ops.index import build_kmer_index, build_zmer_index
-    from ..ops.seeds import extract_seeds, subsample_mask
-    from ..pipeline.zmo import Overlap, ZmoParams, _pad_tier
-    from ..utils.log import log
+    from ..pipeline.zmo import ZmoParams, Overlap, _pad_tier, _emit_batch_dm
 
     p = params or ZmoParams.dmo()
     mesh = mesh or make_overlap_mesh()
@@ -248,70 +288,84 @@ def overlap_sharded(rb, params=None, mesh: Mesh | None = None, progress: bool = 
     n = len(rb)
     if n == 0:
         return []
-    kidx = build_kmer_index(rb, p.ksize, p.hz, p.ksave, p.max_kmer_freq)
-    zidx = build_zmer_index(rb, p.zsize, p.hz, p.max_zmer_freq)
-    sk = shard_index(kidx.kmers, kidx.post_rd, kidx.post_dir, None, None, n_idx)
-    sz = shard_index(zidx.zmers, zidx.post_rd, zidx.post_dir, zidx.post_off,
-                     zidx.post_span, n_idx)
-    read_lens = jnp.asarray(rb.lengths)
-    A = min(p.ncand, 64)
-    Q = max(p.batch_q, n_rd)
-    Q = ((Q + n_rd - 1) // n_rd) * n_rd
-    Ltier = _pad_tier(int(rb.lengths[0]))
+    sb = build_sharded_indexes(rb, p, mesh)
+    Npad = pad_pow2(n, lo=1 << 8)
+    st = sb.stats  # [S, 5*Npad+3]; per-read blocks are in LOCAL shard ids
+    zcnt = np.zeros(n, np.int64)        # per-read z postings (own shard)
+    kprobes = np.zeros(n, np.int64)
+    cross = np.zeros(n, np.int64)
+    for s in range(st.shape[0]):
+        lo, hi = int(sb.bounds[s]), int(sb.bounds[s + 1])
+        ln = hi - lo
+        zcnt[lo:hi] = st[s, :ln]
+        kprobes[lo:hi] = st[s, 2 * Npad: 2 * Npad + ln]
+        cross[lo:hi] = st[s, 4 * Npad: 4 * Npad + ln]
+    kneed = sb.kneed                    # GLOBAL (exact per-shard bound)
+    comp_max = int(st[:, 5 * Npad].max())
+
+    A = min(p.ncand, p.dm_cand)
+    Qloc = max(1, p.batch_q // max(1, n_rd))
+    Q = Qloc * n_rd
+    Ltier = _pad_tier(int(rb.lengths.max()))
+    read_lens = jnp.asarray(rb.lengths.astype(np.int32))
+    batches = [np.arange(n)[i: i + Q] for i in range(0, n, Q)]
+    # budgets: the own-shard per-read stats estimate the per-shard masses
+    # (a shard holds ~1/S of the genome's copies, so own-shard ~= any
+    # shard's share); x2 slack + overflow counters in `totals`
+    cbud = pad_pow2(max(int(kneed[b].sum()) for b in batches) + 1024,
+                    lo=1 << 14)
+    kq = pad_pow2(max(int(kprobes[b].sum()) for b in batches) + Q, lo=1 << 12)
+    occ_budget = pad_pow2(max(int(zcnt[b].sum()) for b in batches) + Q,
+                          lo=1 << 12)
+    cross_budget = pad_pow2(2 * max(int(cross[b].sum()) for b in batches)
+                            + 1024, lo=1 << 14)
     step = sharded_overlap_step(
-        mesh, n, budget=p.cand_budget // n_idx, pair_budget=p.pair_budget // n_idx,
-        ncand=A, kovl=p.kovl, nb=p.nb,
+        mesh, n_reads=n, Q=Q, A=A, kovl=p.kovl, len_ratio=p.len_ratio,
+        ksave=p.ksave, cbud=cbud, kq=kq, occ_budget=occ_budget,
+        cross_budget=cross_budget, nbk=max(cross_budget // 4, 1 << 14),
+        kvar=p.kvar, zbits=2 * p.zsize, max_per_read=p.max_zmer_freq,
+        nb=p.nb, xvar=p.xvar, yvar=p.yvar, min_block_len=p.min_block_len,
+        max_overhang=p.max_overhang, deviation_penalty=p.deviation_penalty,
+        gap_penalty=p.gap_penalty,
     )
-    overlaps = []
-    emitted = set()
-    for b0 in range(0, n, Q):
-        real = np.arange(b0, min(n, b0 + Q))
-        rids = np.concatenate([real, np.full(Q - len(real), real[-1], real.dtype)])
+    overlaps: list = []
+    emitted_pairs: set = set()
+    rdcovs = np.zeros(n, np.int64)
+    rdmask = np.zeros(n, bool)
+    avg_len = rb.avg_len()
+    for b in batches:
+        rids = np.concatenate(
+            [b, np.full(Q - len(b), b[-1], b.dtype)]).astype(np.int32)
+        qskip = np.zeros(Q, bool)
+        qskip[len(b):] = True
         batch, lens = rb.batch(rids, pad_to=Ltier)
-        kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.ksize, p.hz)
-        kvalid = kres["valid"] & subsample_mask(kres["kmer"], p.ksave)
-        zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
-        out = step(
-            kres["kmer"], kres["span"], kvalid,
-            zres["kmer"], zres["off"], zres["span"], zres["valid"], zres["dir"],
-            jnp.asarray(rids, jnp.int32), jnp.asarray(lens), read_lens,
-            sk.kmers, sk.post_rd, sk.post_dir,
-            sz.kmers, sz.post_rd, sz.post_dir, sz.post_off, sz.post_span,
+        kres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens),
+                             p.ksize, p.hz)
+        zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens),
+                             p.zsize, p.hz)
+        csorted, packed, totals = step(
+            kres["kmer"], kres["off"], kres["span"], kres["valid"],
+            zres["kmer"], zres["off"], zres["span"],
+            zres["dir"], zres["valid"],
+            jnp.asarray(rids), jnp.asarray(lens.astype(np.int32)),
+            jnp.asarray(qskip), read_lens,
+            sb.k_kmers, sb.k_rd, sb.k_dir,
+            sb.rm_zsd, sb.rm_pk, sb.rm_rd, sb.rm_start,
         )
-        cands, ols, pair_id, score, tb, te, qb, qe = (np.asarray(x) for x in out)
-        csorted = np.sort(np.where(cands < 0, 0x7FFFFFFF, cands), axis=1)
-        # pair ids are shard-local (each rd shard numbers its own Qloc rows);
-        # the position within the concatenated output identifies the shard
-        Qloc = Q // n_rd
-        rows_per_shard = Qloc * A * 2
-        for row in range(len(pair_id)):
-            pid = int(pair_id[row])
-            if pid >= rows_per_shard:
-                continue
-            shard = row // rows_per_shard
-            qi = shard * Qloc + pid // (A * 2)
-            slot = (pid // 2) % A
-            d = pid & 1
-            if qi >= len(real):
-                continue
-            qrid = int(rids[qi])
-            cand = int(csorted[qi, slot])
-            if cand >= n or cand == qrid:
-                continue
-            sc = int(score[row])
-            ol = max(int(te[row] - tb[row]), int(qe[row] - qb[row]))
-            if ol <= 0 or sc < p.min_score or sc < int(p.min_id * ol):
-                continue
-            key = (min(qrid, cand), max(qrid, cand))
-            if key in emitted:
-                continue
-            emitted.add(key)
-            overlaps.append(Overlap(
-                rid1=qrid, dir1=0, beg1=int(tb[row]), end1=int(te[row]),
-                rid2=cand, dir2=d, beg2=int(qb[row]), end2=int(qe[row]),
-                score=sc, identity=sc / ol, mat=sc, mis=0, ins=0, dl=0, aln=ol,
-            ))
+        csorted = np.asarray(csorted)
+        packed = np.asarray(packed)
+        NP = Q * A * 2
+        # pack rows in the single-chip emit layout
+        pos = np.arange(NP, dtype=np.int64)
+        row = np.concatenate([
+            pos,                       # pair_id (positional)
+            packed[0], packed[1], packed[2], packed[3], packed[4],
+            packed[5],
+            np.asarray(totals).max(axis=0).astype(np.int64),
+        ])
+        _emit_batch_dm(rb, p, rids, row, csorted, Q, A, rdcovs, rdmask,
+                       overlaps, emitted_pairs, set(), None, avg_len)
         if progress:
-            log("sharded overlap %d/%d reads, %d overlaps", min(n, b0 + Q), n,
-                len(overlaps))
+            log("sharded overlap %d/%d reads, %d overlaps",
+                min(n, int(b[-1]) + 1), n, len(overlaps))
     return overlaps
