@@ -179,7 +179,7 @@ def main(argv=None):
         from .graph.stringgraph import LayParams, run_lay
         from .pipeline.zmo import Overlap
 
-        rb = ReadBank.from_fasta(args.reads)
+        rb = ReadBank.from_fasta(args.reads, use_qual=True)
         if args.clips:
             clips = read_clp(args.clips)
             # whole-read mode: drop zero-length reads
@@ -280,19 +280,25 @@ def main(argv=None):
         return 0
 
     if args.cmd == "asm":
-        from .data.readbank import ReadBank, seq_to_codes
-        from .io.fasta import read_seqs
+        from .data.readbank import ReadBank, decode_f5q, seq_to_codes
+        from .io.fasta import read_seqs_qual
         from .pipeline.driver import assemble_dmo, write_outputs
         from .pipeline.pre import preprocess
         from .pipeline.zmo import ZmoParams
         from .utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
-        names, seqs = [], []
-        for name, seq in preprocess(read_seqs(args.inputs), min_len=args.min_len):
-            names.append(name)
-            seqs.append(seq_to_codes(seq))
-        rb = ReadBank(names, seqs)
+        names, seqs, quals = [], [], []
+        any_q = False
+        for rec in preprocess(read_seqs_qual(args.inputs), min_len=args.min_len):
+            names.append(rec[0])
+            seqs.append(seq_to_codes(rec[1]))
+            if len(rec) > 2:
+                quals.append(decode_f5q(rec[2], len(rec[1])))
+                any_q = True
+            else:
+                quals.append(None)
+        rb = ReadBank(names, seqs, quals=quals if any_q else None)
         if args.engine == "zmo":
             from .pipeline.driver import assemble_zmo
 

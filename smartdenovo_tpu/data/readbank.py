@@ -34,6 +34,34 @@ def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     return (3 - codes[::-1]).astype(np.uint8)
 
 
+def decode_f5q(qual: str, length: int) -> np.ndarray:
+    """Decode an f5q quality line (7 x L track chars) to [7, L] uint8.
+
+    Tracks 0-4 are phred chars (-33); 5-6 are base letters -> 2-bit codes
+    (reference push5q_wtcns, wtcns.c:180-183)."""
+    raw = np.frombuffer(qual.encode(), np.uint8).reshape(7, length)
+    out = np.empty_like(raw)
+    out[:5] = raw[:5] - 33
+    out[5:] = _BASE_MAP[raw[5:]]
+    return out
+
+
+def encode_f5q(q: np.ndarray) -> str:
+    """Inverse of decode_f5q: [7, L] tracks -> the 7 x L character line."""
+    raw = np.empty_like(q)
+    raw[:5] = q[:5] + 33
+    raw[5:] = _BIT_BASE[np.clip(q[5:], 0, 3)]
+    return raw.tobytes().decode()
+
+
+def revcomp_f5q(q: np.ndarray) -> np.ndarray:
+    """Strand-flip f5q tracks: reverse positions, complement tags 5-6
+    (reference wtlay.c:2805-2815)."""
+    out = q[:, ::-1].copy()
+    out[5:] = 3 - np.clip(out[5:], 0, 3)
+    return out
+
+
 class ReadBank:
     """Immutable store of reads, sorted length-descending.
 
@@ -45,7 +73,8 @@ class ReadBank:
       name2id: dict name -> sorted id
     """
 
-    def __init__(self, names: list[str], seqs: list[np.ndarray], sort: bool = True):
+    def __init__(self, names: list[str], seqs: list[np.ndarray], sort: bool = True,
+                 quals: list | None = None):
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
         if sort:
             # length descending, name ascending for determinism
@@ -61,9 +90,30 @@ class ReadBank:
             np.concatenate(seqs).astype(np.uint8) if seqs else np.zeros(0, dtype=np.uint8)
         )
         self.name2id = {n: i for i, n in enumerate(self.names)}
+        # optional f5q tracks: per read [7, L] uint8 (0-4 phred, 5-6 base
+        # codes) or None — reference rdqvs (wtcns.c:172-186)
+        self.quals = [quals[i] for i in order] if quals else None
 
     @classmethod
-    def from_fasta(cls, paths, min_len: int = 0, sort: bool = True) -> "ReadBank":
+    def from_fasta(cls, paths, min_len: int = 0, sort: bool = True,
+                   use_qual: bool = False) -> "ReadBank":
+        """Load FASTA/FASTQ; with use_qual, keep f5q 7-track qualities."""
+        if use_qual:
+            from ..io.fasta import read_seqs_qual
+
+            names, seqs, quals = [], [], []
+            any_q = False
+            for tag, _desc, seq, qual in read_seqs_qual(paths):
+                if len(seq) < min_len:
+                    continue
+                names.append(tag)
+                seqs.append(seq_to_codes(seq))
+                if qual is not None and len(qual) == 7 * len(seq):
+                    quals.append(decode_f5q(qual, len(seq)))
+                    any_q = True
+                else:
+                    quals.append(None)
+            return cls(names, seqs, sort=sort, quals=quals if any_q else None)
         from ..io.fasta import read_seqs
 
         names, seqs = [], []
@@ -93,17 +143,21 @@ class ReadBank:
         Reads absent from `clips` are kept whole; reads clipped to length 0
         are dropped.  cf. reference set_read_clip_wtzmo (wtzmo.c:217-226).
         """
-        names, seqs = [], []
+        names, seqs, quals = [], [], []
         for rid, name in enumerate(self.names):
+            q = self.quals[rid] if self.quals else None
             if name in clips:
                 off, ln = clips[name]
                 if ln <= 0:
                     continue
                 seqs.append(self.get(rid)[off : off + ln].copy())
+                quals.append(q[:, off: off + ln].copy() if q is not None else None)
             else:
                 seqs.append(self.get(rid).copy())
+                quals.append(q)
             names.append(name)
-        return ReadBank(names, seqs)
+        return ReadBank(names, seqs,
+                        quals=quals if self.quals is not None else None)
 
     def batch(self, rids: np.ndarray, pad_to: int | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Materialise reads `rids` as a padded [B, L] uint8 batch (+ lengths)."""

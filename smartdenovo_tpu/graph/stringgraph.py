@@ -1230,9 +1230,17 @@ class StringGraph:
                 if dir:
                     codes = revcomp_codes(codes)
                 if out_lay is not None:
-                    out_lay.write(
-                        f"{'YN'[cont]}\t{self.rb.names[nid]}\t{'+-'[dir]}\t{off}\t{rdlen}\t{codes_to_seq(codes)}\n"
-                    )
+                    row = (f"{'YN'[cont]}\t{self.rb.names[nid]}\t{'+-'[dir]}"
+                           f"\t{off}\t{rdlen}\t{codes_to_seq(codes)}")
+                    # f5q column 7: oriented 7-track qualities
+                    # (reference wtlay.c:2801-2822)
+                    q = (self.rb.quals[nid]
+                         if getattr(self.rb, "quals", None) else None)
+                    if q is not None:
+                        from ..data.readbank import encode_f5q, revcomp_f5q
+
+                        row += "\t" + encode_f5q(revcomp_f5q(q) if dir else q)
+                    out_lay.write(row + "\n")
                 if cont or off + rdlen <= built:
                     continue
                 ctg[off : off + rdlen] = codes

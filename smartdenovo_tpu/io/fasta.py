@@ -81,6 +81,41 @@ def _read_fastq(fh: TextIO, first: str) -> Iterator[tuple[str, str, str]]:
         line = fh.readline()
 
 
+def read_seqs_qual(paths: str | Iterable[str]):
+    """Yield (tag, desc, seq, qual_or_None) — qual kept for FASTQ/f5q.
+
+    f5q files (pbh5tof5q output) are FASTQ whose quality line holds 7 x L
+    track characters (reference file_reader.h f5q support, wtcns.c:938).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    for path in paths:
+        fh = _open_text(path)
+        try:
+            first = fh.readline()
+            while first and not first.strip():
+                first = fh.readline()
+            if not first:
+                continue
+            if first.startswith(">"):
+                for tag, desc, seq in _read_fasta(fh, first):
+                    yield tag, desc, seq, None
+            elif first.startswith("@"):
+                line = first
+                while line:
+                    tag, desc = _split_header(line)
+                    seq = fh.readline().strip()
+                    fh.readline()  # +
+                    qual = fh.readline().strip()
+                    yield tag, desc, seq, qual or None
+                    line = fh.readline()
+            else:
+                raise ValueError(f"not FASTA/FASTQ input: {first[:40]!r}")
+        finally:
+            if fh is not None and path != "-":
+                fh.close()
+
+
 def write_fasta(fh: TextIO, name: str, seq: str, width: int = 0) -> None:
     fh.write(f">{name}\n")
     if width <= 0:

@@ -69,6 +69,8 @@ class CnsParams:
     refine_open_i: int = -2    # reference wtcns -I
     refine_open_d: int = -3    # reference wtcns -D
     refine_ext: int = -1       # reference -E
+    use_qv: bool = True        # quality-aware refine when the .lay has
+                               # f5q tracks (reference -F disables)
 
 
 @dataclasses.dataclass
@@ -98,17 +100,26 @@ def units_from_graph(graph) -> list[LayUnitig]:
         lay = list(lay)
         if not any(e[5] for e in lay):  # not already recruited (output_layout)
             graph._recurit_contained(lay)
-        reads, offs, bflags, rnames = [], [], [], []
+        reads, offs, bflags, rnames, quals = [], [], [], [], []
+        any_q = False
         for nid, dir, fwd, bwd, off, cont in lay:
             codes = graph.rb.get(nid)
+            q = graph.rb.quals[nid] if getattr(graph.rb, "quals", None) else None
             if dir:
                 codes = revcomp_codes(codes)
+                if q is not None:
+                    from ..data.readbank import revcomp_f5q
+
+                    q = revcomp_f5q(q)
             reads.append(np.ascontiguousarray(codes))
             offs.append(int(off))
             bflags.append(not cont)
             rnames.append(graph.rb.names[nid])
+            quals.append(q)
+            any_q = any_q or q is not None
         units.append(LayUnitig(name=f"utg{i}", reads=reads, offs=offs,
-                               backbone=bflags, rnames=rnames))
+                               backbone=bflags, rnames=rnames,
+                               quals=quals if any_q else None))
     return units
 
 
@@ -333,12 +344,13 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
         if p.refine:
             # affine re-alignment around the prior CIGAR (reference
             # kswx_refine_alignment, wtcns.c:372-381): canonical gap
-            # placement so DAG votes stack on the same columns
+            # placement so DAG votes stack on the same columns; reads
+            # with f5q tracks get the quality-aware variant (wtcns.c:380)
             from ..ops.refine import refine_alignment_batch
+            from ..ops.refine5q import refine5q_alignment_batch
 
-            rpairs = []
-            rcigs = []
-            rmap = []
+            groups: dict = {"plain": ([], [], []), "qv": ([], [], [])}
+            quals = unit.quals if (p.use_qv and unit.quals) else None
             for i in range(B):
                 ops, counts = cigs[i]
                 if not ops:
@@ -346,15 +358,26 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
                 seg_b = b[i][int(b_begs[i]): int(end_col[i])]
                 if int(alen[i]) == 0 or seg_b.size == 0:
                     continue
-                rpairs.append((a[i][: int(alen[i])], seg_b))
-                rcigs.append((ops, counts))
-                rmap.append(i)
+                qv = quals[ridx[i]] if quals is not None else None
+                g = groups["qv" if qv is not None else "plain"]
+                g[0].append((a[i][: int(alen[i])], seg_b))
+                g[1].append((ops, counts) if qv is None else
+                            ((ops, counts), qv))
+                g[2].append(i)
+            rpairs, rcigs, rmap = groups["plain"]
             refined = refine_alignment_batch(
                 rpairs, rcigs, W_base=64, match=p.match,
                 mismatch=p.mismatch, open_i=p.refine_open_i,
                 open_d=p.refine_open_d, ext=p.refine_ext)
             for i, r in zip(rmap, refined):
                 cigs[i] = (r["ops"], r["counts"])
+            qpairs, qmeta, qmap = groups["qv"]
+            if qpairs:
+                refined = refine5q_alignment_batch(
+                    qpairs, [m[1] for m in qmeta], [m[0] for m in qmeta],
+                    W_base=64)
+                for i, r in zip(qmap, refined):
+                    cigs[i] = (r["ops"], r["counts"])
         for i in range(B):
             ops, counts = cigs[i]
             if not ops:

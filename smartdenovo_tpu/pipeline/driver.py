@@ -68,13 +68,16 @@ def assemble_dmo(
     # -F mode: closed reads have kept_len 0 -> drop; others keep whole seq
     keep_names = []
     keep_seqs = []
+    keep_quals = []
     for rid, name in enumerate(rb.names):
         c = clips.get(name)
         if c is not None and c[5] != 0:
             continue  # closed (chimeric/lonely/uncovered)
         keep_names.append(name)
         keep_seqs.append(rb.get(rid).copy())
-    rb2 = ReadBank(keep_names, keep_seqs)
+        keep_quals.append(rb.quals[rid] if rb.quals else None)
+    rb2 = ReadBank(keep_names, keep_seqs,
+                   quals=keep_quals if rb.quals is not None else None)
     log("layout bank: %d/%d reads kept", len(rb2), len(rb))
     ovl2 = remap_overlaps(overlaps, rb, rb2)
     g = run_lay(rb2, ovl2, lp)
@@ -107,14 +110,16 @@ def assemble_zmo(
     news = rescue_overlaps(rb, overlaps, gp)
     overlaps = overlaps + news
     clips = run_clp(overlaps_to_clp_records(rb, overlaps), cp)
-    keep_names, keep_seqs = [], []
+    keep_names, keep_seqs, keep_quals = [], [], []
     for rid, name in enumerate(rb.names):
         c = clips.get(name)
         if c is not None and c[5] != 0:
             continue
         keep_names.append(name)
         keep_seqs.append(rb.get(rid).copy())
-    rb2 = ReadBank(keep_names, keep_seqs)
+        keep_quals.append(rb.quals[rid] if rb.quals else None)
+    rb2 = ReadBank(keep_names, keep_seqs,
+                   quals=keep_quals if rb.quals is not None else None)
     log("layout bank: %d/%d reads kept", len(rb2), len(rb))
     ovl2 = remap_overlaps(overlaps, rb, rb2)
     g = run_lay(rb2, ovl2, lp)

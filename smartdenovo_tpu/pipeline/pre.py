@@ -59,41 +59,60 @@ def preprocess(
     idx = 0
     cur_key: str | None = None
     cur_seq = ""
-    for tag, _desc, seq in records:
+    cur_qual: str | None = None
+    for rec in records:
+        tag, _desc, seq = rec[0], rec[1], rec[2]
+        # optional f5q quality (7 chars/base): clip/carry alongside
+        qual = rec[3] if len(rec) > 3 else None
+        if qual is not None and len(qual) != 7 * len(seq):
+            qual = None
         if clip:
+            if qual is not None:
+                L = len(seq)
+                q = [qual[k * L + clip: (k + 1) * L - clip] for k in range(7)]
+                qual = "".join(q)
             seq = seq[clip : len(seq) - clip]
         if len(seq) < min_len:
             continue
         if not longest:
-            yield f"{prefix}{idx:012d}", seq
+            yield (f"{prefix}{idx:012d}", seq) + ((qual,) if qual else ())
             idx += 1
             continue
         key = well_key(tag)
         if key == cur_key:
             if len(seq) > len(cur_seq):
                 cur_seq = seq
+                cur_qual = qual
         else:
             if cur_key is not None:
-                yield f"{prefix}{idx:012d}", cur_seq
+                yield (f"{prefix}{idx:012d}", cur_seq) + (
+                    (cur_qual,) if cur_qual else ())
                 idx += 1
             cur_key = key
             cur_seq = seq
+            cur_qual = qual
     if cur_key is not None:
-        yield f"{prefix}{idx:012d}", cur_seq
+        yield (f"{prefix}{idx:012d}", cur_seq) + ((cur_qual,) if cur_qual else ())
 
 
 def run_pre(inputs, output, min_len=0, clip=0, longest=True, prefix="pb"):
-    from ..io.fasta import read_seqs, write_fasta
+    """wtpre: longest-subread-per-well selection (+ f5q passthrough —
+    reference longest_pacbio_subreads_f5q.pl)."""
+    from ..io.fasta import read_seqs_qual, write_fasta
 
     import sys
 
     out = sys.stdout if output == "-" else open(output, "w")
     try:
         n = 0
-        for name, seq in preprocess(
-            read_seqs(inputs), min_len=min_len, clip=clip, longest=longest, prefix=prefix
+        for rec in preprocess(
+            read_seqs_qual(inputs), min_len=min_len, clip=clip,
+            longest=longest, prefix=prefix
         ):
-            write_fasta(out, name, seq)
+            if len(rec) > 2:          # f5q: keep the 7-track quality line
+                out.write(f"@{rec[0]}\n{rec[1]}\n+\n{rec[2]}\n")
+            else:
+                write_fasta(out, rec[0], rec[1])
             n += 1
         return n
     finally:
