@@ -69,6 +69,9 @@ def _add_lay(sub):
     q.add_argument("-w", "--margin", type=int, default=300)
     q.add_argument("-r", "--best-score-cutoff", type=float, default=0.95)
     q.add_argument("-c", "--edgecov", type=int, default=1)
+    q.add_argument("-g", "--dot", action="store_true",
+                   help="write {output}.{N}.dot graphviz dumps at each "
+                        "'g' phase (wtlay print_dot_strgraph)")
 
 
 def _add_cns(sub):
@@ -208,7 +211,8 @@ def main(argv=None):
         p = LayParams.dmo(min_score=args.min_score, min_id=args.min_id,
                           margin=args.margin,
                           best_score_cutoff=args.best_score_cutoff,
-                          edgecov_cutoff=args.edgecov)
+                          edgecov_cutoff=args.edgecov,
+                          dot_prefix=args.output if args.dot else "")
         g = run_lay(rb, ovls, p)
         with open(args.output, "w") as lay_fh, open(args.output + ".utg", "w") as utg_fh, \
              open(args.output + ".dup", "w") as dl, open(args.output + ".utg.dup", "w") as du:

@@ -40,7 +40,9 @@ class LayParams:
     best_score_cutoff: float = 0.95  # -r
     utg_sm: float = 0.4       # -q duplicated-unitig coverage
     mat_score: bool = False   # -R use matches as score
-    commands: str = "CwBRUR"  # reference default gCwgBgRURg minus dot dumps
+    commands: str = "gCwgBgRURg"  # reference default (wtlay.c:2934);
+                                  # 'g' dumps graphviz when dot_prefix set
+    dot_prefix: str = ""      # write {prefix}.{N}.dot at each 'g' command
 
     @classmethod
     def dmo(cls, **kw) -> "LayParams":
@@ -170,6 +172,39 @@ class StringGraph:
 
     def owner_of(self, e: Edge) -> int:
         return e.rev.node_id
+
+    def write_dot(self, fh) -> None:
+        """Graphviz dump, one digraph per connected component — the
+        reference's main graph-debugging surface (print_dot_strgraph,
+        wtlay.c:2433-2465): edge label '+-:off:score:identity', colors
+        blue/green/red/gray by (k, dir)."""
+        colors = (("blue", "green"), ("red", "gray"))
+        seen = np.zeros(self.n, bool)
+        for node_id in range(self.n):
+            if self.dead[node_id] or seen[node_id]:
+                continue
+            if not (self.living_edges(node_id, 0)
+                    or self.living_edges(node_id, 1)):
+                continue
+            fh.write(f"digraph {node_id} {{\n")
+            stack = [node_id]
+            seen[node_id] = True
+            while stack:
+                idx = stack.pop()
+                for k in (0, 1):
+                    for e in self.nodes[idx].edges[k]:
+                        if e.closed:
+                            continue
+                        ovl = max(1, self.edge_overlap(idx, e))
+                        fh.write(
+                            f"{self.rb.names[idx]} -> {self.rb.names[e.node_id]}"
+                            f" [label=\"{'+-'[k]}{'+-'[e.dir]}:{e.off}"
+                            f":{e.score}:{e.score / ovl:.3f}\""
+                            f" color=\"{colors[k][e.dir]}\"]\n")
+                        if not seen[e.node_id]:
+                            stack.append(e.node_id)
+                            seen[e.node_id] = True
+            fh.write("}\n")
 
     def edge_overlap(self, node_id: int, e: Edge) -> int:
         len1 = int(self.rb.lengths[node_id])
@@ -1262,6 +1297,7 @@ def run_lay(rb: ReadBank, overlaps, params: LayParams | None = None) -> StringGr
     g.cal_edge_coverage()
     nd = g.remove_duplicate_edges()
     log("wtlay: removed %d duplicate edges", nd)
+    dot_idx = 0
     for cmd in p.commands:
         if cmd == "C":
             n = g.mask_contained_reads()
@@ -1284,7 +1320,10 @@ def run_lay(rb: ReadBank, overlaps, params: LayParams | None = None) -> StringGr
             n = g.recover_edges_inter_unitigs(p.best_score_cutoff)
             log("wtlay: recovered %d inter-unitig edges", n)
         elif cmd == "g":
-            pass  # graphviz dumps not emitted
+            if p.dot_prefix:
+                dot_idx += 1
+                with open(f"{p.dot_prefix}.{dot_idx}.dot", "w") as fh:
+                    g.write_dot(fh)
     n = g.gen_unitigs_layout()
     log("wtlay: final %d unitigs", n)
     g.recover_edges_inter_unitigs(p.best_score_cutoff)

@@ -112,9 +112,11 @@ class ZmoParams:
     sw_gap: int = -3          # -O
     band_w: int = 256         # band width around the chain diagonal
     align_cap: int = 64       # chains aligned per query per batch (SW engine)
-    emit_cigar: bool = False  # attach real CIGARs to SW overlaps (the
-                              # reference pipeline drops col 17 via cut -f1-16,
-                              # so this costs extra device work only on demand)
+    emit_cigar: bool = True   # attach real CIGARs + mat/mis/ins/dl to SW
+                              # overlaps (reference SW mode emits true ksw
+                              # stats; the dm mode fabricates mat=score,
+                              # mis=ins=del=0, "0M" — wtzmo.c:873-878 — and
+                              # we match it there)
 
     @classmethod
     def dmo(cls, **kw) -> "ZmoParams":

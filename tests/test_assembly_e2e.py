@@ -85,3 +85,22 @@ def test_assembly_outputs(assembly, tmp_path):
     assert utg.startswith(">utg")
     seqlen = sum(len(l) for l in utg.splitlines() if not l.startswith(">"))
     assert seqlen > 0.8 * GLEN
+
+
+def test_graphviz_dump(assembly, tmp_path):
+    """write_dot emits the reference's digraph format (wtlay.c:2433)."""
+    g, rb, res = assembly
+    out = tmp_path / "g.dot"
+    with open(out, "w") as fh:
+        res.graph.write_dot(fh)
+    text = out.read_text()
+    assert text.startswith("digraph ")
+    import re
+
+    edges = re.findall(r'(\S+) -> (\S+) \[label="([+-])([+-]):(\d+):(-?\d+):',
+                       text)
+    assert edges, text[:200]
+    names = set(rb.names)
+    for a, b, k, d, off, score in edges[:50]:
+        assert a in names or a in set(res.rb.names)
+        assert int(off) >= 0
