@@ -40,7 +40,10 @@ def _add_zmo(sub):
     q.add_argument("-s", "--min-score", type=int, default=200)
     q.add_argument("-A", "--ncand", type=int, default=1000)
     q.add_argument("-J", "--min-len", type=int, default=0)
-    q.add_argument("--batch-q", type=int, default=16)
+    q.add_argument("-G", "--gparts", type=int, default=1,
+                   help="build the kmer index in G read-block passes to "
+                        "cap index memory (reference -G)")
+    q.add_argument("--batch-q", type=int, default=64)
     q.add_argument("-P", "--parts", type=int, default=1,
                    help="split queries across P nodes (reference -P)")
     q.add_argument("-p", "--part", type=int, default=0,
@@ -148,7 +151,7 @@ def main(argv=None):
         p = ZmoParams.dmo(ksize=args.ksize, zsize=args.zsize,
                           max_zmer_freq=args.zmax, min_id=args.min_id,
                           min_score=args.min_score, ncand=args.ncand,
-                          batch_q=args.batch_q)
+                          batch_q=args.batch_q, gparts=args.gparts)
         ovls = overlap_dmo(rb, p, parts=args.parts, part=args.part)
         write_overlaps(args.output, rb, ovls)
         return 0

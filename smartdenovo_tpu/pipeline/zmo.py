@@ -91,6 +91,8 @@ class ZmoParams:
     # batching / budgets (TPU shapes).  cand/expand/pair budgets are
     # auto-sized from dataset stats; the legacy fields remain as caps.
     batch_q: int = 64
+    gparts: int = 1           # -G: build the index in G read-block passes
+                              # (1/G of the posting index resident at once)
     scan_chunk: int = 16      # batches per device dispatch (lax.scan length);
                               # one dispatch per chunk — bounds per-dispatch
                               # device-time/memory, costs ~0.25s tunnel RPC each
@@ -188,9 +190,10 @@ def _cand_core(rids, qlens, qskip, k16, didx, read_lens,
         probe_budget=kq,
     )
     cands_dm = cands[:, :Adm]
-    csorted = jnp.sort(
-        jnp.where(cands_dm < 0, jnp.int32(INT32_MAX), cands_dm), axis=1
-    ).astype(jnp.int32)
+    key = jnp.where(cands_dm < 0, jnp.int32(INT32_MAX), cands_dm)
+    order = jnp.argsort(key, axis=1)
+    csorted = jnp.take_along_axis(key, order, axis=1).astype(jnp.int32)
+    osorted = jnp.take_along_axis(_ols[:, :Adm], order, axis=1).astype(jnp.int32)
     # exact zmer-expansion need of phase 2: sum of candidates' rm counts
     c = jnp.clip(csorted, 0, n - 1)
     zneed = jnp.sum(jnp.where(
@@ -198,7 +201,7 @@ def _cand_core(rids, qlens, qskip, k16, didx, read_lens,
     sizes = jnp.stack([
         zneed.astype(jnp.int32), cand_total.astype(jnp.int32),
         probe_total.astype(jnp.int32), jnp.int32(0)])
-    return csorted, sizes
+    return csorted, osorted, sizes
 
 
 @functools.partial(jax.jit, static_argnames=_CAND_STATICS)
@@ -209,13 +212,13 @@ def _cand_scan_device(rids_all, qlens_all, qskip_all, k16: FlatSeeds,
     per-batch loop lives inside jit."""
     def body(_, xs):
         rids, qlens, qskip = xs
-        csorted, sizes = _cand_core(rids, qlens, qskip, k16, didx,
-                                    read_lens, **st)
-        return None, (csorted.reshape(-1), sizes)
+        csorted, osorted, sizes = _cand_core(rids, qlens, qskip, k16, didx,
+                                             read_lens, **st)
+        return None, (csorted.reshape(-1), osorted.reshape(-1), sizes)
 
-    _, (candbuf, sizebuf) = jax.lax.scan(
+    _, (candbuf, olbuf, sizebuf) = jax.lax.scan(
         body, None, (rids_all, qlens_all, qskip_all))
-    return candbuf, sizebuf
+    return candbuf, olbuf, sizebuf
 
 
 _PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "qkb", "nb", "kvar",
@@ -398,6 +401,10 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     n = len(rb)
     if n == 0:
         return []
+    if p.gparts > 1:
+        from ..parallel.gpass import overlap_gparts
+
+        return overlap_gparts(rb, p, progress=progress, parts=parts, part=part)
     t0 = time.time()
     flat_d, offs_d, lens_d, T, Npad = _upload_bank(rb)
     k16 = flat_seeds(flat_d, offs_d, p.ksize, p.hz)
@@ -475,7 +482,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     cand_chunks = []
     size_chunks = []
     for c0, sz in chunks:
-        cb, sb = _cand_scan_device(
+        cb, _ob, sb = _cand_scan_device(
             jnp.asarray(rids_all[c0: c0 + sz]),
             jnp.asarray(qlens_all[c0: c0 + sz]),
             jnp.asarray(qskip_all[c0: c0 + sz]),

@@ -119,3 +119,31 @@ def test_ledger_files(tmp_path, small_assembly_input):
     write_pair_ledger(str(p9), attempted)
     back = read_pair_ledger(str(p9))
     assert back == attempted
+
+
+def test_gparts_multipass_matches_single_pass():
+    """-G read-block multi-pass (wtzmo.c:1276-1303): 1/G of the index
+    resident per pass; candidate merge is exact, the per-pass frequency
+    cutoff (reference-faithful) costs a sliver of recall at the margin."""
+    import numpy as np
+
+    from smartdenovo_tpu.data.readbank import ReadBank
+    from smartdenovo_tpu.pipeline.zmo import ZmoParams, overlap_dmo
+    from smartdenovo_tpu.utils.simulate import random_genome, simulate_reads
+
+    rng = np.random.default_rng(55)
+    genome = random_genome(rng, 40_000)
+    names, seqs = simulate_reads(genome, coverage=16, mean_len=3500,
+                                 err=0.12, seed=56)
+    rb = ReadBank(names, seqs)
+    one = overlap_dmo(rb, ZmoParams.dmo(ncand=150, batch_q=16),
+                      progress=False)
+    two = overlap_dmo(rb, ZmoParams.dmo(ncand=150, batch_q=16, gparts=2),
+                      progress=False)
+
+    def ps(o):
+        return {(min(x.rid1, x.rid2), max(x.rid1, x.rid2)) for x in o}
+
+    a, b = ps(one), ps(two)
+    jac = len(a & b) / max(1, len(a | b))
+    assert jac >= 0.97, f"gparts jaccard {jac:.4f} ({len(b)} vs {len(a)})"
