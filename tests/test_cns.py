@@ -24,9 +24,11 @@ def _identity(x: np.ndarray, y: np.ndarray) -> float:
 def unit_and_truth():
     rng = np.random.default_rng(55)
     truth = random_genome(rng, 12000)
-    # tile reads across the unitig like a layout would: step 1500, len 3000
+    # tile reads across the unitig like a layout would (~9x, the regime
+    # the reference's 99.7% claim lives in — at ~4x the +1-homopolymer
+    # vote noise costs ~0.6%, identically in the reference scoring)
     reads, offs, bb = [], [], []
-    step, rdlen = 800, 3500
+    step, rdlen = 400, 3500
     for start in range(0, 12000 - 1000, step):
         frag = truth[start : start + rdlen]
         read = mutate_read(rng, frag, 0.13)
@@ -60,7 +62,7 @@ def test_consensus_improves_identity(unit_and_truth):
     bb_id = _identity(_gen_backbone(unit), truth)
     cns_id = _identity(cns, truth)
     assert cns_id > bb_id + 0.03, f"consensus {cns_id:.4f} vs backbone {bb_id:.4f}"
-    assert cns_id > 0.965, f"consensus identity too low: {cns_id:.4f}"
+    assert cns_id > 0.99, f"consensus identity too low: {cns_id:.4f}"
     assert 0.9 * len(truth) < len(cns) < 1.1 * len(truth)
 
 
