@@ -111,6 +111,10 @@ def _add_util(sub):
     q.add_argument("-m", "--min-id", type=float, default=0.7)
     q = sub.add_parser("dif", help="variants of reads vs first read (wtdif)")
     q.add_argument("inputs", nargs="+")
+    q = sub.add_parser("dotplot", help="zmer dot-plot dump for 2 reads "
+                                       "(hzm_aln debug_dot_plot)")
+    q.add_argument("inputs", nargs="+")
+    q.add_argument("-o", "--output", default="dot_plot")
     q = sub.add_parser("idx", help="build + snapshot the overlap indexes (wtidx)")
     q.add_argument("inputs", nargs="+")
     q.add_argument("-o", "--output", required=True)
@@ -278,6 +282,14 @@ def main(argv=None):
         from .pipeline.aln_tools import run_dif
 
         run_dif(args.inputs)
+        return 0
+
+    if args.cmd == "dotplot":
+        from .pipeline.aln_tools import run_dotplot
+
+        n = run_dotplot(args.inputs, args.output)
+        print(f"{n} matches -> {args.output}.fwd.txt / .rev.txt",
+              file=sys.stderr)
         return 0
 
     if args.cmd == "idx":

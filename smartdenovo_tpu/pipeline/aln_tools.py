@@ -138,3 +138,45 @@ def run_dif(inputs, out=None, W: int = 256):
                 out.write(f"{name}\t{pos}\tD\t{bases[y]}\t-\n")
             if y != 4:
                 pos += 1
+
+
+def run_dotplot(inputs, prefix: str = "dot_plot", zsize: int = 10,
+                hz: bool = True, max_zmer_freq: int = 64):
+    """Dot-plot debug dump for exactly two reads (reference
+    debug_dot_plot_hzmps, hzm_aln.h:902-931): writes
+    {prefix}.fwd.txt / {prefix}.rev.txt with one `off1\\toff2` zmer match
+    per line — the raw image the dot-matrix aligner chains."""
+    from ..data.readbank import ReadBank
+    from ..ops.seeds import extract_seeds
+
+    rb = ReadBank.from_fasta(inputs, sort=False)
+    if len(rb) != 2:
+        raise ValueError(f"dot plot needs exactly 2 reads, got {len(rb)}")
+    batch, lens = rb.batch(np.arange(2))
+    res = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), zsize, hz)
+    km = np.asarray(res["kmer"])
+    off = np.asarray(res["off"])
+    dr = np.asarray(res["dir"])
+    ok = np.asarray(res["valid"])
+    rows = []
+    for i in (0, 1):
+        d = {}
+        for j in np.nonzero(ok[i])[0]:
+            d.setdefault(int(km[i][j]), []).append(
+                (int(off[i][j]), int(dr[i][j])))
+        rows.append(d)
+    n_match = 0
+    with open(f"{prefix}.fwd.txt", "w") as fwd, \
+         open(f"{prefix}.rev.txt", "w") as rev:
+        for z, occ0 in rows[0].items():
+            occ1 = rows[1].get(z)
+            if occ1 is None or len(occ0) > max_zmer_freq \
+                    or len(occ1) > max_zmer_freq:
+                continue
+            for o0, d0 in occ0:
+                for o1, d1 in occ1:
+                    out = rev if (d0 ^ d1) else fwd
+                    o1p = (int(rb.lengths[1]) - o1 - zsize) if (d0 ^ d1) else o1
+                    out.write(f"{o0}\t{o1p}\n")
+                    n_match += 1
+    return n_match
