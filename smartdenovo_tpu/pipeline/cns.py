@@ -412,6 +412,7 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
         dag = DagCns(p.ref_penalty, p.alt_penalty)
         dag.set_backbone(cns)
         agree = 0
+        abase = 0
         pending = []  # (score, beg, end, a0, a1)
         # reference wtcns: -O in round 1, asymmetric -I/-D afterwards
         ga = p.gap if it == 0 else p.gap_ins
@@ -422,12 +423,19 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
                 continue
             pending.append((sc, beg, end, rb_, ra, rid))
             agree += m
+            abase += len(unit.reads[rid])
             offs[rid] = beg
-        if agree < prev_agree:
-            log("cns %s iter %d: agreement %d < %d, keeping previous backbone",
-                unit.name, it + 1, agree, prev_agree)
+        # divergence guard on the PER-BASE agreement rate: insertion bloat
+        # collapses the rate; reads dropping out at layout edges (window
+        # drift) lower the absolute sum but not the rate and must not
+        # abort the polish
+        rate = agree / max(1, abase)
+        if rate < 0.98 * prev_agree:
+            log("cns %s iter %d: agreement rate %.4f << %.4f, keeping previous",
+                unit.name, it + 1, rate, prev_agree)
             return (prev_cns, prev_offs) if return_offs else prev_cns
-        prev_cns, prev_agree, prev_offs = cns, agree, list(offs)
+        if rate >= prev_agree:
+            prev_cns, prev_agree, prev_offs = cns, rate, list(offs)
         pending.sort(key=lambda t: -t[0])
         for sc, beg, end, a0, a1, _ in pending:
             dag.add_alignment(beg, end, a0, a1)
