@@ -75,10 +75,37 @@ def run_ours_worker(fasta: str) -> None:
     print(f"BENCH_OURS {len(overlaps)} {best:.2f}", flush=True)
 
 
+def wait_for_tpu(max_wait: int = 1200, probe_timeout: int = 120) -> bool:
+    """The axon tunnel dies occasionally (observed multi-hour outages);
+    probe device init in a subprocess so a dead tunnel fails fast instead
+    of hanging every attempt for its full timeout."""
+    t0 = time.time()
+    while True:
+        r = None
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout)
+        except subprocess.TimeoutExpired:
+            pass
+        if r is not None and r.returncode == 0:
+            return True
+        waited = time.time() - t0
+        if waited > max_wait:
+            print(f"[bench] TPU unreachable after {waited:.0f}s of probing",
+                  file=sys.stderr, flush=True)
+            return False
+        print(f"[bench] TPU probe failed ({waited:.0f}s); retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def run_ours_with_retries(fasta: str, attempts: int = 4, per_timeout: int = 1800):
     """The remote-compile tunnel can wedge mid-run; retry in fresh
     subprocesses — the persistent XLA cache makes each retry cheaper."""
     me = os.path.abspath(__file__)
+    if not wait_for_tpu():
+        return 0, None
     for att in range(attempts):
         try:
             r = subprocess.run([sys.executable, me, "--ours-worker", fasta],
