@@ -519,6 +519,7 @@ def extract_zmer_pairs_sweep(
     occ_budget: int,      # >= total query zmer postings this batch
     kvar: int = 2,
     zbits: int = 20,      # 2*zsize
+    pair_budget: int | None = None,   # compact matches to this width
 ) -> PairBatch:
     """Index-sweep z-mer matcher: iterate the WHOLE posting index once per
     batch (sequentially) and probe a per-batch zmer -> query-occurrence
@@ -574,7 +575,8 @@ def extract_zmer_pairs_sweep(
     return _sweep_emit(qrids, cands_sorted, slot_table,
                        rm_zsd, rm_pk, rm_rd, rm_start, read_lens,
                        bq_cnt, bq_start, occ_q, occ_pk, qtotal,
-                       cross_budget=cross_budget, kvar=kvar, zbits=zbits)
+                       cross_budget=cross_budget, kvar=kvar, zbits=zbits,
+                       pair_budget=pair_budget)
 
 
 def build_query_occ_rows(qz_rows, qpk_rows, qvalid, *, occ_budget: int,
@@ -619,6 +621,7 @@ def extract_zmer_pairs_sweep_rows(
     qrids, cands_sorted, occ_tables,
     rm_zsd, rm_pk, rm_rd, rm_start, read_lens,
     *, cross_budget: int, kvar: int = 2, zbits: int = 20,
+    pair_budget: int | None = None,
 ) -> PairBatch:
     """Sweep matcher with a precomputed occurrence table (sharded path)."""
     Q = qrids.shape[0]
@@ -636,12 +639,14 @@ def extract_zmer_pairs_sweep_rows(
     return _sweep_emit(qrids, cands_sorted, slot_table,
                        rm_zsd, rm_pk, rm_rd, rm_start, read_lens,
                        bq_cnt, bq_start, occ_q, occ_pk, qtotal,
-                       cross_budget=cross_budget, kvar=kvar, zbits=zbits)
+                       cross_budget=cross_budget, kvar=kvar, zbits=zbits,
+                       pair_budget=pair_budget)
 
 
 def _sweep_emit(qrids, cands_sorted, slot_table, rm_zsd, rm_pk, rm_rd,
                 rm_start, read_lens, bq_cnt, bq_start, occ_q, occ_pk, qtotal,
-                *, cross_budget: int, kvar: int, zbits: int):
+                *, cross_budget: int, kvar: int, zbits: int,
+                pair_budget: int | None = None):
     from .flatops import expand_ranges
 
     Q = qrids.shape[0]
@@ -678,14 +683,31 @@ def _sweep_emit(qrids, cands_sorted, slot_table, rm_zsd, rm_pk, rm_rd,
     p_off = cpk >> 9
     o2 = jnp.where(pairdir == 1, cln - (p_off + p_span), p_off)
     pair_id = jnp.where(ok, (q_ec * A + slot) * 2 + pairdir, BIGP)
+    if pair_budget is None or pair_budget >= cross_budget:
+        return PairBatch(
+            pair_id=pair_id, off1=qpk >> 9, off2=o2,
+            len1=q_span, len2=p_span,
+            match_cnt=jnp.zeros(Q * A * 2, jnp.int32),
+            total=total, expand_total=qtotal,
+        )
+    # compact survivors (~10-25% of the cross mass) so the dot-matrix
+    # block phases sort/scan at match width instead of cross width
+    dst = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    n_match = dst[-1] + 1
+    dsti = jnp.where(ok, jnp.minimum(dst, pair_budget), pair_budget)
+
+    def comp(v, fill):
+        return (jnp.full(pair_budget + 1, fill, jnp.int32)
+                .at[dsti].set(v.astype(jnp.int32), mode="drop")[:pair_budget])
+
     return PairBatch(
-        pair_id=pair_id,
-        off1=qpk >> 9,
-        off2=o2,
-        len1=q_span,
-        len2=p_span,
+        pair_id=comp(pair_id, Q * A * 2),
+        off1=comp(qpk >> 9, 0),
+        off2=comp(o2, 0),
+        len1=comp(q_span, 0),
+        len2=comp(p_span, 0),
         match_cnt=jnp.zeros(Q * A * 2, jnp.int32),
-        total=total,
+        total=n_match,
         expand_total=qtotal,
     )
 

@@ -221,21 +221,27 @@ def _cand_scan_device(rids_all, qlens_all, qskip_all, k16: FlatSeeds,
     return candbuf, olbuf, sizebuf
 
 
-_PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "qkb", "nb", "kvar",
-                 "zbits", "max_per_read", "xvar", "yvar", "min_block_len",
-                 "max_overhang", "deviation_penalty", "gap_penalty", "matcher")
+_PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "cx", "qkb", "nb",
+                 "kvar", "zbits", "max_per_read", "xvar", "yvar",
+                 "min_block_len", "max_overhang", "deviation_penalty",
+                 "gap_penalty", "matcher")
 
 
 def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
                *, Q, Lc, Adm, mb, pb, nbk, qkb, nb, kvar, zbits,
                max_per_read, xvar, yvar, min_block_len, max_overhang,
-               deviation_penalty, gap_penalty, matcher="sweep", **_unused):
+               deviation_penalty, gap_penalty, matcher="sweep", cx=0,
+               **_unused):
     n = read_lens.shape[0]
     if matcher == "sweep":
+        # mb = occurrence width (exact from stats), cx = cross-expansion
+        # width (exact), pb = compacted match width (heuristic cx/4,
+        # overflow-checked via pairs.total)
         pairs = extract_zmer_pairs_sweep(
             rids, jnp.zeros(Q, bool), csorted,
             didx.rm_zsd, didx.rm_pk, didx.rm_rd, didx.rm_start, read_lens,
-            cross_budget=pb, occ_budget=mb, kvar=kvar, zbits=zbits,
+            cross_budget=cx or pb, occ_budget=mb, kvar=kvar, zbits=zbits,
+            pair_budget=pb if cx else None,
         )
     elif matcher == "vtab":
         pairs = extract_zmer_pairs_vtab(
@@ -531,16 +537,18 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         # pow2 tier of 0.8x the expansion: lands at mb/2 when the batch's
         # match ratio (max measured 0.73) fits, else mb
         pb = min(pad_pow2(int(zneed) * 4 // 5 + 1024, lo=1 << 14), mb)
-        return dict(mb=mb, pb=pb, nbk=max(pb // 4, 1 << 14))
+        return dict(mb=mb, pb=pb, nbk=max(pb // 4, 1 << 14), cx=0)
 
     def sweep_budgets(bi_lo, bi_hi):
-        # sweep matcher: mb = occurrence axis (sum of batch query z-counts),
-        # pb = cross axis (sum of per-read global-freq mass — exact bound)
+        # mb = occurrence axis, cx = cross axis — both EXACT from stats;
+        # pb = compacted match width (matches ~10-25% of cross; the
+        # overflow redispatch below grows it when a batch exceeds it)
         occ = max(int(zcnt[rids_all[bi]].sum()) for bi in range(bi_lo, bi_hi))
-        cx = max(int(cross[rids_all[bi]].sum()) for bi in range(bi_lo, bi_hi))
+        cxn = max(int(cross[rids_all[bi]].sum()) for bi in range(bi_lo, bi_hi))
         mb = pad_pow2(occ + Q, lo=1 << 12)
-        pb = min(pad_pow2(cx + 1024, lo=1 << 14), p.expand_budget_cap)
-        return dict(mb=mb, pb=pb, nbk=max(pb // 4, 1 << 14))
+        cx = min(pad_pow2(cxn + 1024, lo=1 << 14), p.expand_budget_cap)
+        pb = max(cx // 4, 1 << 14)
+        return dict(mb=mb, cx=cx, pb=pb, nbk=max(pb // 4, 1 << 14))
 
     def dispatch_pair(acc, bi, rids, qlens, st, cb=None):
         args = (acc, jnp.int32(bi), jnp.asarray(rids), jnp.asarray(qlens),
