@@ -43,6 +43,9 @@ def _add_zmo(sub):
     q.add_argument("-G", "--gparts", type=int, default=1,
                    help="build the kmer index in G read-block passes to "
                         "cap index memory (reference -G)")
+    q.add_argument("-n", "--refine", action="store_true",
+                   help="refine each SW hit's alignment (reference -n)")
+    q.add_argument("-e", "--engine", choices=("dm", "sw"), default="dm")
     q.add_argument("--batch-q", type=int, default=64)
     q.add_argument("-P", "--parts", type=int, default=1,
                    help="split queries across P nodes (reference -P)")
@@ -152,10 +155,11 @@ def main(argv=None):
 
         enable_compilation_cache()
         rb = ReadBank.from_fasta(args.input, min_len=args.min_len)
-        p = ZmoParams.dmo(ksize=args.ksize, zsize=args.zsize,
-                          max_zmer_freq=args.zmax, min_id=args.min_id,
-                          min_score=args.min_score, ncand=args.ncand,
-                          batch_q=args.batch_q, gparts=args.gparts)
+        mk = ZmoParams.zmo if args.engine == "sw" else ZmoParams.dmo
+        p = mk(ksize=args.ksize, zsize=args.zsize,
+               max_zmer_freq=args.zmax, min_id=args.min_id,
+               min_score=args.min_score, ncand=args.ncand,
+               batch_q=args.batch_q, gparts=args.gparts, refine=args.refine)
         ovls = overlap_dmo(rb, p, parts=args.parts, part=args.part)
         write_overlaps(args.output, rb, ovls)
         return 0

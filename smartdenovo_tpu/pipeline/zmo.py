@@ -119,6 +119,8 @@ class ZmoParams:
                               # stats; the dm mode fabricates mat=score,
                               # mis=ins=del=0, "0M" — wtzmo.c:873-878 — and
                               # we match it there)
+    refine: bool = False      # -n: affine refine pass around each SW hit's
+                              # CIGAR before emission (wtzmo.c:1031-1033)
 
     @classmethod
     def dmo(cls, **kw) -> "ZmoParams":
@@ -848,6 +850,25 @@ def _attach_cigars(rb, p, ovls):
         semiglobal_b=True,
     )
     cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen, np.asarray(end_col))
+    if p.refine:
+        # reference -n: kswx_refine_alignment around each hit's CIGAR
+        # (wtzmo.c:1031-1033) — canonical affine gap placement
+        from ..ops.refine import refine_alignment_batch
+
+        rpairs, rcigs, rmap = [], [], []
+        for i in range(B):
+            ops, counts = cigs[i]
+            seg_b = b[i][int(b_begs[i]): int(end_col[i])]
+            if not ops or seg_b.size == 0 or int(alen[i]) == 0:
+                continue
+            rpairs.append((a[i][: int(alen[i])], seg_b))
+            rcigs.append((ops, counts))
+            rmap.append(i)
+        for i, r in zip(rmap, refine_alignment_batch(
+                rpairs, rcigs, W_base=64, match=p.sw_match,
+                mismatch=p.sw_mismatch, open_i=p.sw_gap, open_d=p.sw_gap,
+                ext=-1)):
+            cigs[i] = (r["ops"], r["counts"])
     for i, ov in enumerate(ovls):
         ops, counts = cigs[i]
         if not ops:
