@@ -134,8 +134,9 @@ class DeviceIndexes(NamedTuple):
     # [2n:3n]=per-read live k16 probe counts, [3n:4n]=per-read compressed
     # lengths, [4n:5n]=per-read cross mass (sum of global zmer freq over
     # the read's kept postings — exact sweep-matcher budget),
-    # [5n]=max comp len, [5n+1]=k16 max_freq used, [5n+2]=total k postings
-    stats: jnp.ndarray     # [5*Npad+3] int32
+    # [5n]=max comp len, [5n+1]=k16 max_freq used, [5n+2]=total k
+    # postings, [5n+3]=average kmer depth (~coverage estimate)
+    stats: jnp.ndarray     # [5*Npad+4] int32
 
 
 @functools.partial(jax.jit, static_argnames=("max_kmer_freq", "max_zmer_freq",
@@ -235,7 +236,13 @@ def build_indexes_device(
         comp_len,
         cross_per_rd,
         jnp.stack([jnp.max(comp_len), cutoff.astype(jnp.int32),
-                   n_post.astype(jnp.int32)]),
+                   n_post.astype(jnp.int32),
+                   # distinct KEPT kmers ~ genome_size(compressed)/ksave:
+                   # the host derives a coverage estimate as
+                   # sum(comp_len) / (distinct_kept * ksave) — kmer
+                   # FREQUENCY cannot estimate coverage at high error
+                   # (observed depth ~ coverage * (1-err)^k)
+                   jnp.sum((new & keepk).astype(jnp.int32))]),
     ])
     return DeviceIndexes(
         k_kmers=kk2, k_rd=k_rd, k_dir=(krdpk2 & 1).astype(jnp.int8),

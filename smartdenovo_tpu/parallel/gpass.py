@@ -155,7 +155,7 @@ def overlap_gparts(rb: ReadBank, params=None, progress: bool = True,
     n = len(rb)
     if n == 0:
         return []
-    A = min(p.dm_cand, p.ncand)
+    A = min(p.dm_cand, p.ncand) if p.dm_cand > 0 else p.ncand
     Q = p.batch_q
     Ltier = _pad_tier(int(rb.lengths[0]) if n else 1024)
     m = (n + G - 1) // G

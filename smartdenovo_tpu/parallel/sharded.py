@@ -303,7 +303,7 @@ def overlap_sharded(rb, params=None, mesh: Mesh | None = None,
     kneed = sb.kneed                    # GLOBAL (exact per-shard bound)
     comp_max = int(st[:, 5 * Npad].max())
 
-    A = min(p.ncand, p.dm_cand)
+    A = min(p.ncand, p.dm_cand) if p.dm_cand > 0 else p.ncand
     Qloc = max(1, p.batch_q // max(1, n_rd))
     Q = Qloc * n_rd
     Ltier = _pad_tier(int(rb.lengths.max()))

@@ -70,12 +70,12 @@ class ZmoParams:
     kovl: int = 300           # -d min kmer covered len for a candidate
     ztot: int = 300           # -r min total zmer seeding region
     ncand: int = 500          # -A (dmo: 1000)
-    # dot-matrix candidate width: only the top dm_cand candidates (by k16
-    # union length) per query go through zmer extraction + dot-matrix.
-    # Measured on the bench set every true pair ranks < 48 on at least one
-    # side, so 64 keeps exact recall while cutting pair mass ~8x; raise
-    # for very deep coverage (true overlaps/read ~ 2x coverage).
-    dm_cand: int = 64
+    # dot-matrix candidate width; 0 = use ncand (-A), the reference
+    # semantics.  The sweep matcher's expansion cost is independent of
+    # the candidate count (the round-1 matchers' wasn't, hence the old
+    # 64 default — which lost 27% of pairs at 50x coverage).  Set >0
+    # only as an explicit efficiency cap for the vtab/join matchers.
+    dm_cand: int = 0
     nbest: int = 100          # -B
     min_score: int = 200      # -s
     min_id: float = 0.5       # -m (dmo: 0.1)
@@ -427,13 +427,19 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     comp_len = stats[3 * Npad: 4 * Npad][:n].astype(np.int64)
     cross = stats[4 * Npad: 5 * Npad][:n].astype(np.int64)
     max_comp = int(stats[5 * Npad])
+    distinct_kept = int(stats[5 * Npad + 3])
+    # coverage estimate: compressed bases / (distinct kept kmers * ksave);
+    # kmer frequency CANNOT estimate coverage at high error rates
+    # (observed kmer depth ~ coverage * (1-err)^k ~ coverage/13 at 12%)
+    kavg = int(comp_len.sum() // max(1, distinct_kept * p.ksave))
     if progress:
-        log("indexes: %d k16 postings (freq cutoff %d), %d zmer postings; %.1fs",
+        log("indexes: %d k16 postings (freq cutoff %d), %d zmer postings, "
+            "~%dx est coverage; %.1fs",
             int(stats[5 * Npad + 2]), int(stats[5 * Npad + 1]),
-            int(zcnt.sum()), time.time() - t0)
+            int(zcnt.sum()), kavg, time.time() - t0)
 
     A = p.ncand
-    Adm = min(p.dm_cand, A)
+    Adm = min(p.dm_cand, A) if p.dm_cand > 0 else A
     Q = p.batch_q
     Lc = pad_pow2(max_comp, lo=1 << 10)
     qarr = np.arange(n) if parts <= 1 else np.arange(n)[part::parts]
@@ -549,7 +555,9 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         cxn = max(int(cross[rids_all[bi]].sum()) for bi in range(bi_lo, bi_hi))
         mb = pad_pow2(occ + Q, lo=1 << 12)
         cx = min(pad_pow2(cxn + 1024, lo=1 << 14), p.expand_budget_cap)
-        pb = max(cx // 4, 1 << 14)
+        # match/cross ratio rises with depth (more of each zmer's postings
+        # are genuine candidates): ~10-25% shallow, ~50-80% deep
+        pb = max(cx // (2 if kavg >= 10 else 4), 1 << 14)
         return dict(mb=mb, cx=cx, pb=pb, nbk=max(pb // 4, 1 << 14))
 
     def dispatch_pair(acc, bi, rids, qlens, st, cb=None):
