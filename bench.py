@@ -57,7 +57,7 @@ def run_ours_worker(fasta: str) -> None:
 
     enable_compilation_cache()
     rb = ReadBank.from_fasta(fasta)
-    params = ZmoParams.dmo(ncand=500)
+    params = ZmoParams.dmo()   # -A 1000, same as the reference cmd
     t0 = time.time()
     overlaps = overlap_dmo(rb, params, progress=True)
     cold = time.time() - t0
