@@ -688,7 +688,7 @@ def _sweep_emit(qrids, cands_sorted, slot_table, rm_zsd, rm_pk, rm_rd,
             pair_id=pair_id, off1=qpk >> 9, off2=o2,
             len1=q_span, len2=p_span,
             match_cnt=jnp.zeros(Q * A * 2, jnp.int32),
-            total=total, expand_total=qtotal,
+            total=total, expand_total=total,
         )
     # compact survivors (~10-25% of the cross mass) so the dot-matrix
     # block phases sort/scan at match width instead of cross width
@@ -708,7 +708,10 @@ def _sweep_emit(qrids, cands_sorted, slot_table, rm_zsd, rm_pk, rm_rd,
         len2=comp(p_span, 0),
         match_cnt=jnp.zeros(Q * A * 2, jnp.int32),
         total=n_match,
-        expand_total=qtotal,
+        # the sweep's expansion axis is the cross product; reporting it
+        # (not the occurrence count, which is exact by construction) lets
+        # the caller detect cross-budget overflow and redispatch
+        expand_total=total,
     )
 
 

@@ -101,9 +101,18 @@ class ZmoParams:
     expand_budget_cap: int = 1 << 26    # hard memory ceiling
     pair_budget: int = 1 << 20          # unused (kept for API compat)
     nb: int = 32
-    matcher: str = "sweep"    # "sweep" = index sweep + per-batch occurrence
+    matcher: str = "auto"     # "auto" = per-chunk pick of sweep vs join by
+                              #   EXACT expansion mass (sweep mass = sum of
+                              #   global freqs of query zmer occurrences;
+                              #   join mass = sum of candidates' posting
+                              #   counts).  At z=10 the zmer space saturates
+                              #   (~79K distinct), so deep/small genomes blow
+                              #   the sweep's cross axis past the memory cap
+                              #   while the join stays near the true match
+                              #   mass — and vice versa at scale;
+                              # "sweep" = index sweep + per-batch occurrence
                               #   table (sequential index side, small-table
-                              #   probes — fastest measured on TPU);
+                              #   probes);
                               # "vtab" = direct-addressed (q, zmer) table;
                               # "join" = global sort-join (reference sizes)
 
@@ -504,48 +513,58 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         cand_chunks.append(cb)
         size_chunks.append(sb)
     candbuf = jnp.concatenate(cand_chunks) if len(cand_chunks) > 1 else cand_chunks[0]
-    if p.matcher == "sweep":
-        # the sweep matcher's budgets come straight from the index stats
-        # (per-read cross mass) — no phase-1 -> phase-2 sizing sync needed
-        sizes = None
-    else:
-        sizes = np.asarray(jnp.concatenate(size_chunks)
-                           if len(size_chunks) > 1 else size_chunks[0])
-        # sync 2: phase-2 sizes
+    # sync 2: phase-2 sizes.  sizes[:, 0] is the join matcher's exact
+    # expansion mass (sum of candidates' posting counts); the sweep's mass
+    # comes from the index stats (per-read cross sums) with no sync.
+    # "auto" needs both to pick the cheaper matcher per chunk.
+    sizes = (np.asarray(jnp.concatenate(size_chunks)
+                        if len(size_chunks) > 1 else size_chunks[0])
+             if p.matcher != "sweep" else None)
     t2 = time.time()
     if progress:
         log("phase1 done: %.1fs", t2 - t1)
 
     # ---- phase 2: zmer match + dot-matrix at per-batch-tier budgets ----
+    # query zmer mass per batch (vtab build / sweep occurrence axis) and
+    # compressed-length mass (join's query-row probe axis); "auto" may use
+    # either matcher, so the budget covers both (it is a width, not work)
+    qkb_z = pad_pow2(max((int(zcnt[rids_all[bi]].sum()) for bi in range(Btier)),
+                         default=1) + Q, lo=1 << 12)
+    qkb_c = pad_pow2(max((int(comp_len[b].sum()) for b in batches),
+                         default=1) + Q, lo=1 << 12)
     if p.matcher in ("vtab", "sweep"):
-        # query zmer mass per batch (vt build / sweep occurrence axis)
-        qkb = pad_pow2(max((int(zcnt[rids_all[bi]].sum()) for bi in range(Btier)),
-                           default=1) + Q, lo=1 << 12)
+        qkb = qkb_z
+    elif p.matcher == "join":
+        qkb = qkb_c
     else:
-        qkb = pad_pow2(max((int(comp_len[b].sum()) for b in batches),
-                           default=1) + Q, lo=1 << 12)
+        qkb = max(qkb_z, qkb_c)
     pair_static = dict(
         Q=Q, Lc=Lc, Adm=Adm, qkb=qkb, nb=p.nb, kvar=p.kvar,
         zbits=2 * p.zsize, max_per_read=p.max_zmer_freq, xvar=p.xvar,
         yvar=p.yvar, min_block_len=p.min_block_len,
         max_overhang=p.max_overhang, deviation_penalty=p.deviation_penalty,
-        gap_penalty=p.gap_penalty, matcher=p.matcher,
+        gap_penalty=p.gap_penalty,
     )
     if sw_engine:
         pair_static.update(C=C, Ltier=Ltier, W=p.band_w, match=p.sw_match,
                            mismatch=p.sw_mismatch, gap=p.sw_gap)
     K = (9 * Q * C + 4) if sw_engine else (7 * NP + 4)
 
-    def pair_budgets(zneed):
+    def pair_budgets(zneed, matcher):
         # measured on the bench set: match mass ~0.53x expansion, blocks
         # ~0.18x matches — budget each phase near its true width (random
         # access costs scale with budget width); the overflow redispatch
         # below catches the tail
+        if zneed > p.expand_budget_cap:
+            log("WARNING: join expansion %d exceeds the memory cap %d; "
+                "matches will be dropped — lower batch_q", int(zneed),
+                p.expand_budget_cap)
         mb = min(pad_pow2(int(zneed) + 1024, lo=1 << 14), p.expand_budget_cap)
         # pow2 tier of 0.8x the expansion: lands at mb/2 when the batch's
         # match ratio (max measured 0.73) fits, else mb
         pb = min(pad_pow2(int(zneed) * 4 // 5 + 1024, lo=1 << 14), mb)
-        return dict(mb=mb, pb=pb, nbk=max(pb // 4, 1 << 14), cx=0)
+        return dict(mb=mb, pb=pb, nbk=max(pb // 4, 1 << 14), cx=0,
+                    matcher=matcher)
 
     def sweep_budgets(bi_lo, bi_hi):
         # mb = occurrence axis, cx = cross axis — both EXACT from stats;
@@ -555,10 +574,38 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         cxn = max(int(cross[rids_all[bi]].sum()) for bi in range(bi_lo, bi_hi))
         mb = pad_pow2(occ + Q, lo=1 << 12)
         cx = min(pad_pow2(cxn + 1024, lo=1 << 14), p.expand_budget_cap)
+        if cxn + 1024 > p.expand_budget_cap:
+            log("WARNING: sweep cross mass %d exceeds the memory cap %d; "
+                "matches will be dropped — use matcher='auto'", cxn,
+                p.expand_budget_cap)
         # match/cross ratio rises with depth (more of each zmer's postings
         # are genuine candidates): ~10-25% shallow, ~50-80% deep
         pb = max(cx // (2 if kavg >= 10 else 4), 1 << 14)
-        return dict(mb=mb, cx=cx, pb=pb, nbk=max(pb // 4, 1 << 14))
+        return dict(mb=mb, cx=cx, pb=pb, nbk=max(pb // 4, 1 << 14),
+                    matcher="sweep")
+
+    def chunk_budgets(c0, sz):
+        """Pick the matcher for this chunk of batches.
+
+        Both masses are exact: the sweep's cross axis (per-query sums of
+        global zmer frequencies, from the index stats) vs the join's
+        expansion (per-candidate posting counts, from phase 1).  The
+        cheaper one also bounds peak device memory — at z=10 the zmer
+        space saturates (4*3^9 distinct), so deep coverage or small
+        genomes make global frequencies (and the sweep's mass) explode,
+        while sparse candidate sets keep the join near the true match
+        mass; at large genome / low depth the inequality flips.
+        """
+        if p.matcher == "sweep":
+            return sweep_budgets(c0, c0 + sz)
+        if p.matcher in ("vtab", "join"):
+            return pair_budgets(int(sizes[c0: c0 + sz, 0].max()), p.matcher)
+        join_need = int(sizes[c0: c0 + sz, 0].max())
+        cross_need = max(int(cross[rids_all[bi]].sum())
+                         for bi in range(c0, c0 + sz))
+        if cross_need <= join_need and cross_need < p.expand_budget_cap:
+            return sweep_budgets(c0, c0 + sz)
+        return pair_budgets(join_need, "join")
 
     def dispatch_pair(acc, bi, rids, qlens, st, cb=None):
         args = (acc, jnp.int32(bi), jnp.asarray(rids), jnp.asarray(qlens),
@@ -574,10 +621,10 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     batch_static = [None] * B
     pack_chunks = []
     for ci, (c0, sz) in enumerate(chunks):
-        if p.matcher == "sweep":
-            bud = sweep_budgets(c0, c0 + sz)
-        else:
-            bud = pair_budgets(int(sizes[c0: c0 + sz, 0].max()))
+        bud = chunk_budgets(c0, sz)
+        if progress and p.matcher == "auto":
+            log("chunk %d: matcher=%s mb=%d pb=%d cx=%d", c0, bud["matcher"],
+                bud["mb"], bud["pb"], bud["cx"])
         for bi in range(c0, c0 + sz):
             batch_static[bi] = {**pair_static, **bud}
         scan_args = (jnp.asarray(rids_all[c0: c0 + sz]),
@@ -605,8 +652,16 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         for _attempt in range(4):
             ptot, etot, btot, _ = (int(x) for x in packs[bi, -4:])
             ov = {}
-            if etot > st2["mb"]:
-                ov["mb"] = min(pad_pow2(etot + 1024), p.expand_budget_cap)
+            # the expansion axis is cx for the sweep (cross mass, reported
+            # as expand_total), mb for the join/vtab paths
+            exp_key = "cx" if st2.get("matcher") == "sweep" else "mb"
+            if etot > st2[exp_key]:
+                ov[exp_key] = min(pad_pow2(etot + 1024), p.expand_budget_cap)
+                if ov[exp_key] <= st2[exp_key]:
+                    log("WARNING: batch %d expansion %d exceeds the memory "
+                        "cap %d; matches dropped", bi, etot,
+                        p.expand_budget_cap)
+                    ov.pop(exp_key)
             if ptot > st2["pb"]:
                 ov["pb"] = pad_pow2(ptot + 1024)
             if btot > st2["nbk"]:
