@@ -117,6 +117,11 @@ def flat_seeds(flat: jnp.ndarray, offsets: jnp.ndarray, ksize: int,
     )
 
 
+RM_BLK = 128  # read-major slice alignment: whole (8, 128) int32 tiles, so
+              # matcher expansion becomes row-gathers of [P/128, 128] tables
+              # (measured 10x faster than element gathers on v5e)
+
+
 class DeviceIndexes(NamedTuple):
     """Both overlap indexes + stats, built in one jit call."""
 
@@ -124,11 +129,14 @@ class DeviceIndexes(NamedTuple):
     k_kmers: jnp.ndarray   # [T] uint32
     k_rd: jnp.ndarray      # [T] int32
     k_dir: jnp.ndarray     # [T] int8
-    # z10 read-major index for the sort-join / sweep matchers
-    rm_zsd: jnp.ndarray    # [T] int32 zmer<<9|span<<1|dir, (rd, zmer) sorted
-    rm_pk: jnp.ndarray     # [T] int32 off<<9|span<<1|dir
-    rm_rd: jnp.ndarray     # [T] int32 read id per posting (sweep matcher)
-    rm_start: jnp.ndarray  # [Npad+1] int32 CSR (live groups only)
+    # z10 read-major index for the sort-join / sweep matchers; every read's
+    # slice starts at a RM_BLK multiple (gap entries carry sentinel zsd)
+    rm_zsd: jnp.ndarray    # [Tz] int32 zmer<<9|span<<1|dir, (rd, zmer) sorted
+    rm_pk: jnp.ndarray     # [Tz] int32 off<<9|span<<1|dir
+    rm_fo: jnp.ndarray     # [Tz] int32 (rdlen-off-span)<<9|span<<1|dir
+    rm_rd: jnp.ndarray     # [Tz] int32 read id per posting (sweep matcher)
+    rm_start: jnp.ndarray  # [Npad+1] int32 ALIGNED CSR (RM_BLK multiples)
+    rm_cnt: jnp.ndarray    # [Npad] int32 live postings per read
     # stats pack (host fetches this one small array):
     # [0:n]=per-read z-counts, [n:2n]=per-read k16 expansion need,
     # [2n:3n]=per-read live k16 probe counts, [3n:4n]=per-read compressed
@@ -144,6 +152,7 @@ class DeviceIndexes(NamedTuple):
 def build_indexes_device(
     k16: FlatSeeds,
     z10: FlatSeeds,
+    read_lens: jnp.ndarray = None,   # [R] int32 raw lengths (rm_fo table)
     *,
     ksave: int = 4,
     max_kmer_freq: int = 0,
@@ -200,23 +209,40 @@ def build_indexes_device(
                                num_segments=T + 1)[:T]
     mycnt = gcnt[jnp.clip(zgid, 0, T - 1)]
     keepz = zlive & (mycnt < max_zmer_freq)
-    # compact (stable) so rm arrays keep (rd, zmer) order in the live prefix
-    zdst = jnp.cumsum(keepz.astype(jnp.int32)) - 1
-    zdst = jnp.where(keepz, zdst, T)
-
-    def zscat(vals):
-        return jnp.zeros(T + 1, jnp.int32).at[zdst].set(vals.astype(jnp.int32),
-                                                        mode="drop")[:T]
-
-    rm_zsd = zscat((zk2 << 9) | ((zaux & 0x1FF) >> 1 << 1) | (zaux & 1))
-    rm_pk = zscat(zaux)
-    rm_rd = zscat(zk1)
     zrd = jnp.where(keepz, zk1, Npad)
     zcnt_per_rd = jax.ops.segment_sum(keepz.astype(jnp.int32), zrd,
                                       num_segments=Npad + 1)[:Npad]
+    # aligned placement: each read's slice starts at a RM_BLK multiple so
+    # the matchers can row-gather [RM_BLK]-wide tiles instead of paying an
+    # element gather per posting; gap entries carry a sentinel zsd
+    asz = (zcnt_per_rd + (RM_BLK - 1)) // RM_BLK * RM_BLK
     rm_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(asz).astype(jnp.int32)]
+    )
+    lstart = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(zcnt_per_rd).astype(jnp.int32)]
     )
+    Tz = T + Npad * RM_BLK
+    shift = rm_start[:-1] - lstart[:-1]                 # [Npad] >= 0
+    zdst = jnp.cumsum(keepz.astype(jnp.int32)) - 1      # live rank
+    zdst = jnp.where(keepz, zdst + shift[jnp.clip(zrd, 0, Npad - 1)], Tz)
+    SENT_ZSD = jnp.int32(1 << (zbits + 9))              # (zmer==ZS) << 9
+
+    def zscat(vals, fill=0):
+        return jnp.full(Tz + 1, fill, jnp.int32).at[zdst].set(
+            vals.astype(jnp.int32), mode="drop")[:Tz]
+
+    rm_zsd = zscat((zk2 << 9) | ((zaux & 0x1FF) >> 1 << 1) | (zaux & 1),
+                   fill=SENT_ZSD)
+    rm_pk = zscat(zaux)
+    rm_rd = zscat(zk1, fill=Npad)
+    if read_lens is not None:
+        R = read_lens.shape[0]
+        rl = read_lens[jnp.clip(zk1, 0, R - 1)]
+        fo = rl - (zaux >> 9) - ((zaux >> 1) & 0xFF)    # rdlen - off - span
+        rm_fo = zscat((fo << 9) | (zaux & 0x1FF))
+    else:
+        rm_fo = rm_pk
     # global zmer frequency (direct-addressed, zsize <= 12) -> per-read
     # cross mass: SUM over the read's kept postings of the global freq of
     # that zmer == the sweep matcher's exact expansion size for the read
@@ -246,7 +272,8 @@ def build_indexes_device(
     ])
     return DeviceIndexes(
         k_kmers=kk2, k_rd=k_rd, k_dir=(krdpk2 & 1).astype(jnp.int8),
-        rm_zsd=rm_zsd, rm_pk=rm_pk, rm_rd=rm_rd, rm_start=rm_start,
+        rm_zsd=rm_zsd, rm_pk=rm_pk, rm_fo=rm_fo, rm_rd=rm_rd,
+        rm_start=rm_start, rm_cnt=zcnt_per_rd,
         stats=stats,
     )
 

@@ -97,9 +97,12 @@ def build_sharded_indexes(rb, p, mesh: Mesh) -> ShardedBank:
     raw_k: list = []
     raw_rd: list = []
     raw_dir: list = []
-    zsd = np.empty((S, Ts), np.int32)
-    zpk = np.empty((S, Ts), np.int32)
-    zrd = np.empty((S, Ts), np.int32)
+    # read-major arrays carry RM_BLK alignment padding per read
+    from ..ops.flatseeds import RM_BLK
+    Tz = Ts + Npad * RM_BLK
+    zsd = np.empty((S, Tz), np.int32)
+    zpk = np.empty((S, Tz), np.int32)
+    zrd = np.empty((S, Tz), np.int32)
     rst = np.zeros((S, n + 1), np.int32)
     stats_all = []
     for s, (lo, hi, total) in enumerate(shard_sizes):
@@ -128,7 +131,7 @@ def build_sharded_indexes(rb, p, mesh: Mesh) -> ShardedBank:
         rm_rd_l = np.asarray(didx.rm_rd)
         st_l = np.asarray(didx.rm_start)
         n_live_z = int(st_l[local_n])
-        zrd[s] = np.where(np.arange(Ts) < n_live_z, rm_rd_l + lo, n)
+        zrd[s] = np.where(np.arange(Tz) < n_live_z, rm_rd_l + lo, n)
         rst[s, lo: hi + 1] = st_l[: local_n + 1]
         rst[s, hi + 1:] = st_l[local_n]
         stats_all.append(np.asarray(didx.stats))

@@ -251,13 +251,14 @@ def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
         pairs = extract_zmer_pairs_sweep(
             rids, jnp.zeros(Q, bool), csorted,
             didx.rm_zsd, didx.rm_pk, didx.rm_rd, didx.rm_start, read_lens,
+            didx.rm_cnt,
             cross_budget=cx or pb, occ_budget=mb, kvar=kvar, zbits=zbits,
             pair_budget=pb if cx else None,
         )
     elif matcher == "vtab":
         pairs = extract_zmer_pairs_vtab(
             rids, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens, didx.rm_cnt,
             expand_budget=mb, pair_budget=pb, qm_budget=qkb, kvar=kvar,
             zbits=zbits, max_per_read=max_per_read,
         )
@@ -265,7 +266,7 @@ def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
         zk, zoff, zspan, zdir, zvalid = gather_query_rows(z10, rids, Lc)
         pairs = extract_zmer_pairs_join(
             zk, zdir, zoff, zspan, zvalid, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens,
+            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens,
             expand_budget=mb, pair_budget=pb, kvar=kvar, zbits=zbits,
             max_per_read=max_per_read, qprobe_budget=qkb,
         )
@@ -427,7 +428,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     k16 = flat_seeds(flat_d, offs_d, p.ksize, p.hz)
     z10 = flat_seeds(flat_d, offs_d, p.zsize, p.hz)
     didx = build_indexes_device(
-        k16, z10, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
+        k16, z10, lens_d, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
         max_zmer_freq=p.max_zmer_freq, zbits=2 * p.zsize)
     stats = np.asarray(didx.stats)                 # sync 1: index stats
     zcnt = stats[:Npad][:n].astype(np.int64)
