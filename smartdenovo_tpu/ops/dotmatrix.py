@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .flatseeds import RM_BLK
+
 INT32_MAX = jnp.int32(0x7FFFFFFF)
 NEG_BIG = jnp.int32(-1000000)
 

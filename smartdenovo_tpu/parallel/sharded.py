@@ -73,104 +73,157 @@ class ShardedBank(NamedTuple):
     kneed: np.ndarray      # [n] per-read GLOBAL k16 expansion need
 
 
+def shard_bounds(n: int, S: int) -> np.ndarray:
+    m = (n + S - 1) // S
+    return np.minimum(np.arange(S + 1) * m, n)
+
+
+def shard_tier(rb, bounds) -> int:
+    """Common posting tier across shards (one compile of the builder)."""
+    Ts = 1
+    for s in range(len(bounds) - 1):
+        lo, hi = bounds[s], bounds[s + 1]
+        Ts = max(Ts, pad_pow2(int(rb.offsets[hi] - rb.offsets[lo]) + 1))
+    return Ts
+
+
+def build_one_shard(rb, p, lo: int, hi: int, Ts: int, Npad: int):
+    """Build ONE read-block shard's indexes with the single-chip builder.
+
+    Returns host arrays: raw sampled k16 postings (kmer, global rd, dir —
+    unfiltered: the frequency rule must see GLOBAL counts), the read-major
+    zmer arrays (global read ids), the global-read CSR row, and the stats
+    pack.  Used by both the single-process builder and the multi-host
+    path (each process builds only its own shards)."""
+    from ..ops.flatseeds import RM_BLK
+
+    n = len(rb)
+    total = int(rb.offsets[hi] - rb.offsets[lo])
+    Tz = Ts + Npad * RM_BLK
+    flat = np.full(Ts, 4, np.uint8)
+    flat[:total] = rb.bases[rb.offsets[lo]: rb.offsets[hi]]
+    offs = np.full(Npad + 1, total, np.int64)
+    offs[: hi - lo + 1] = rb.offsets[lo: hi + 1] - rb.offsets[lo]
+    flat_d = jnp.asarray(flat)
+    offs_d = jnp.asarray(offs.astype(np.int32))
+    k16 = flat_seeds(flat_d, offs_d, p.ksize, p.hz)
+    z10 = flat_seeds(flat_d, offs_d, p.zsize, p.hz)
+    didx = build_indexes_device(
+        k16, z10, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
+        max_zmer_freq=p.max_zmer_freq, zbits=2 * p.zsize)
+    kval = np.asarray(k16.valid & subsample_mask(k16.kmer, p.ksave))
+    local_n = hi - lo
+    st_l = np.asarray(didx.rm_start)
+    n_live_z = int(st_l[local_n])
+    rst = np.zeros(n + 1, np.int32)
+    rst[lo: hi + 1] = st_l[: local_n + 1]
+    rst[hi + 1:] = st_l[local_n]
+    return dict(
+        raw_k=np.asarray(k16.kmer)[kval],
+        raw_rd=np.asarray(k16.comp_rd)[kval] + lo,
+        raw_dir=(np.asarray(k16.aux)[kval] & 1).astype(np.int8),
+        zsd=np.asarray(didx.rm_zsd),
+        zpk=np.asarray(didx.rm_pk),
+        zrd=np.where(np.arange(Tz) < n_live_z,
+                     np.asarray(didx.rm_rd) + lo, n).astype(np.int32),
+        rst=rst,
+        stats=np.asarray(didx.stats),
+    )
+
+
+def k16_freq_rule(counts: np.ndarray, max_kmer_freq: int) -> np.ndarray:
+    """The reference's k-mer frequency keep rule on GLOBAL counts
+    (wtzmo.c:380-418): drop singletons and over-frequent kmers."""
+    n_post = int(counts.sum())
+    kavg = max(n_post // max(1, len(counts)), 20)
+    cutoff = max_kmer_freq if max_kmer_freq >= 2 else max(kavg * 5, 100)
+    return (counts > 1) & (counts <= cutoff)
+
+
+def filter_shard_k16(shard, uniq, keep_kmer, Ts, kneed_g=None):
+    """Apply the global frequency rule to one shard's raw k16 postings and
+    lay them out (kmer, rd)-sorted in the common tier."""
+    ki = np.searchsorted(uniq, shard["raw_k"])
+    ok = keep_kmer[ki]
+    km, rd_, dr = shard["raw_k"][ok], shard["raw_rd"][ok], shard["raw_dir"][ok]
+    order = np.lexsort((rd_, km))
+    cnt = len(km)
+    if cnt > Ts:
+        raise ValueError("k16 postings exceed shard tier")
+    kk = np.full(Ts, 0xFFFFFFFF, np.uint32)
+    krd = np.zeros(Ts, np.int32)
+    kdr = np.zeros(Ts, np.int8)
+    kk[:cnt] = km[order]
+    krd[:cnt] = rd_[order]
+    kdr[:cnt] = dr[order]
+    return kk, krd, kdr
+
+
 def build_sharded_indexes(rb, p, mesh: Mesh) -> ShardedBank:
     """Build each shard's posting indexes with the single-chip builder.
 
-    Reads are partitioned into contiguous blocks.  Each shard's index is
-    built by the same `build_indexes_device` jit as the single-chip path
-    (one compile — shard tiers are padded to a common size), then stacked
-    and device_put with the idx sharding.
-    """
+    Reads are partitioned into contiguous blocks.  Each shard is built
+    independently (`build_one_shard`) and device_put to its idx position
+    immediately — peak host memory is ONE shard's staging, not S of them
+    (VERDICT r2 weak #9).  The k16 frequency filter uses GLOBAL counts
+    (a shard-local filter would drop 2-frequency kmers split across
+    shards — precisely the overlap signal)."""
     n = len(rb)
     S = mesh.devices.shape[1]
-    m = (n + S - 1) // S
-    bounds = np.minimum(np.arange(S + 1) * m, n)
-    # common tier across shards so the builder compiles once
-    Ts = 1
-    shard_sizes = []
-    for s in range(S):
-        lo, hi = bounds[s], bounds[s + 1]
-        total = int(rb.offsets[hi] - rb.offsets[lo])
-        shard_sizes.append((lo, hi, total))
-        Ts = max(Ts, pad_pow2(total + 1))
+    bounds = shard_bounds(n, S)
+    Ts = shard_tier(rb, bounds)
     Npad = pad_pow2(n, lo=1 << 8)
-    raw_k: list = []
-    raw_rd: list = []
-    raw_dir: list = []
-    # read-major arrays carry RM_BLK alignment padding per read
-    from ..ops.flatseeds import RM_BLK
-    Tz = Ts + Npad * RM_BLK
-    zsd = np.empty((S, Tz), np.int32)
-    zpk = np.empty((S, Tz), np.int32)
-    zrd = np.empty((S, Tz), np.int32)
-    rst = np.zeros((S, n + 1), np.int32)
+
+    sharding = NamedSharding(mesh, P("idx"))
+    # device buffers per field, filled shard by shard: peak host memory is
+    # one shard's staging + the (small) raw k16 arrays kept for the
+    # global frequency pass
+    shard_devs = {}   # s -> list of devices holding idx-shard s
+    for d, idx in sharding.addressable_devices_indices_map((S, 1)).items():
+        shard_devs.setdefault(idx[0].start, []).append(d)
+    fields = ("zsd", "zpk", "zrd", "rst")
+    bufs = {f: {} for f in ("kk", "krd", "kdr") + fields}
+    raw = []          # per-shard raw k16 postings for the global filter
     stats_all = []
-    for s, (lo, hi, total) in enumerate(shard_sizes):
-        flat = np.full(Ts, 4, np.uint8)
-        flat[:total] = rb.bases[rb.offsets[lo]: rb.offsets[hi]]
-        offs = np.full(Npad + 1, total, np.int64)
-        offs[: hi - lo + 1] = rb.offsets[lo: hi + 1] - rb.offsets[lo]
-        flat_d = jnp.asarray(flat)
-        offs_d = jnp.asarray(offs.astype(np.int32))
-        k16 = flat_seeds(flat_d, offs_d, p.ksize, p.hz)
-        z10 = flat_seeds(flat_d, offs_d, p.zsize, p.hz)
-        didx = build_indexes_device(
-            k16, z10, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
-            max_zmer_freq=p.max_zmer_freq, zbits=2 * p.zsize)
-        # raw sampled k16 postings (frequency filtering must use GLOBAL
-        # counts — a shard-local filter drops 2-frequency kmers whose two
-        # copies land on different shards, exactly the overlap signal)
-        kval = np.asarray(k16.valid & subsample_mask(k16.kmer, p.ksave))
-        raw_k.append(np.asarray(k16.kmer)[kval])
-        raw_rd.append(np.asarray(k16.comp_rd)[kval] + lo)
-        raw_dir.append((np.asarray(k16.aux)[kval] & 1).astype(np.int8))
-        # local read ids -> global
-        local_n = hi - lo
-        zsd[s] = np.asarray(didx.rm_zsd)
-        zpk[s] = np.asarray(didx.rm_pk)
-        rm_rd_l = np.asarray(didx.rm_rd)
-        st_l = np.asarray(didx.rm_start)
-        n_live_z = int(st_l[local_n])
-        zrd[s] = np.where(np.arange(Tz) < n_live_z, rm_rd_l + lo, n)
-        rst[s, lo: hi + 1] = st_l[: local_n + 1]
-        rst[s, hi + 1:] = st_l[local_n]
-        stats_all.append(np.asarray(didx.stats))
+    for s in range(S):
+        sh = build_one_shard(rb, p, bounds[s], bounds[s + 1], Ts, Npad)
+        for f in fields:
+            for d in shard_devs.get(s, ()):
+                bufs[f].setdefault(s, []).append(
+                    jax.device_put(sh[f][None], d))
+        raw.append((sh["raw_k"], sh["raw_rd"], sh["raw_dir"]))
+        stats_all.append(sh["stats"])
+        del sh
 
     # ---- global k16 frequency filter (reference wtzmo.c:380-418) ----
-    # (host merge here; at pod scale this becomes a psum over a hashed
-    # frequency table — the rule must see GLOBAL counts either way)
-    allk = np.concatenate(raw_k) if raw_k else np.zeros(0, np.uint32)
-    uniq, inv_counts = np.unique(allk, return_counts=True)
-    n_post = int(inv_counts.sum())
-    n_distinct = max(1, len(uniq))
-    kavg = max(n_post // n_distinct, 20)
-    cutoff = (p.max_kmer_freq if p.max_kmer_freq >= 2
-              else max(kavg * 5, 100))
-    keep_kmer = (inv_counts > 1) & (inv_counts <= cutoff)
-    kk = np.full((S, Ts), 0xFFFFFFFF, np.uint32)
-    krd = np.zeros((S, Ts), np.int32)
-    kdr = np.zeros((S, Ts), np.int8)
+    allk = (np.concatenate([r[0] for r in raw])
+            if raw else np.zeros(0, np.uint32))
+    uniq, counts = np.unique(allk, return_counts=True)
+    del allk
+    keep_kmer = k16_freq_rule(counts, p.max_kmer_freq)
     kneed_g = np.zeros(n, np.int64)   # per-read global expansion need
-    for s in range(S):
-        ki = np.searchsorted(uniq, raw_k[s])
+    for s, (raw_k, raw_rd, raw_dir) in enumerate(raw):
+        kk, krd, kdr = filter_shard_k16(
+            dict(raw_k=raw_k, raw_rd=raw_rd, raw_dir=raw_dir),
+            uniq, keep_kmer, Ts)
+        ki = np.searchsorted(uniq, raw_k)
         ok = keep_kmer[ki]
-        km, rd_, dr = raw_k[s][ok], raw_rd[s][ok], raw_dir[s][ok]
-        order = np.lexsort((rd_, km))
-        cnt = len(km)
-        if cnt > Ts:
-            raise ValueError("k16 postings exceed shard tier")
-        kk[s, :cnt] = km[order]
-        krd[s, :cnt] = rd_[order]
-        kdr[s, :cnt] = dr[order]
-        np.add.at(kneed_g, rd_, inv_counts[ki][ok])
+        np.add.at(kneed_g, raw_rd[ok], counts[ki][ok])
+        for d in shard_devs.get(s, ()):
+            bufs["kk"].setdefault(s, []).append(jax.device_put(kk[None], d))
+            bufs["krd"].setdefault(s, []).append(jax.device_put(krd[None], d))
+            bufs["kdr"].setdefault(s, []).append(jax.device_put(kdr[None], d))
 
-    def put(x):
-        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("idx")))
+    def assemble(f):
+        flat = [b for s in sorted(bufs[f]) for b in bufs[f][s]]
+        shape = (S,) + flat[0].shape[1:]
+        return jax.make_array_from_single_device_arrays(shape, sharding, flat)
 
     return ShardedBank(
-        k_kmers=put(kk), k_rd=put(krd), k_dir=put(kdr),
-        rm_zsd=put(zsd), rm_pk=put(zpk), rm_rd=put(zrd),
-        rm_start=put(rst), bounds=bounds, stats=np.stack(stats_all),
+        k_kmers=assemble("kk"), k_rd=assemble("krd"), k_dir=assemble("kdr"),
+        rm_zsd=assemble("zsd"), rm_pk=assemble("zpk"), rm_rd=assemble("zrd"),
+        rm_start=assemble("rst"),
+        bounds=bounds, stats=np.stack(stats_all),
         kneed=kneed_g,
     )
 
