@@ -64,8 +64,12 @@ struct Dag {
     uint32_t add_edge(uint32_t a, uint32_t b, uint32_t cov) {
         edges.push_back(Edge{a, b, cov, false, true});
         uint32_t eid = (uint32_t)edges.size() - 1;
-        nodes[a].outs.push_back(eid);
-        nodes[b].ins.push_back(eid);
+        // PREPEND, mirroring the reference's intrusive lists
+        // (dagcns.h:153-157): every iteration order — DP tie-breaks,
+        // merge survivor pick, alt-node reuse — sees newest-first,
+        // exactly as the binary does
+        nodes[a].outs.insert(nodes[a].outs.begin(), eid);
+        nodes[b].ins.insert(nodes[b].ins.begin(), eid);
         return eid;
     }
 

@@ -38,9 +38,8 @@ def main():
     from smartdenovo_tpu.data.readbank import ReadBank
     from smartdenovo_tpu.ops.dotmatrix import (dot_matrix_align,
                                                extract_zmer_pairs_join)
-    from smartdenovo_tpu.ops.flatseeds import flat_seeds
-    from smartdenovo_tpu.ops.index import build_indexes_device
-    from smartdenovo_tpu.ops.seeds import gather_query_rows
+    from smartdenovo_tpu.ops.flatseeds import (build_indexes_device,
+                                               flat_seeds, gather_query_rows)
     from smartdenovo_tpu.pipeline import zmo as Z
     from smartdenovo_tpu.utils.cache import enable_compilation_cache
 
@@ -137,6 +136,19 @@ def main():
     timeit("join matcher (full)", join_vary, zk, zdir, zoff, zspan, zvalid,
            csorted)
 
+    # ---- join matcher with the streaming pallas phase-3 ----
+    @jax.jit
+    def run_join_pl(r, zk, zdir, zoff, zspan, zvalid, csorted):
+        pairs = extract_zmer_pairs_join(
+            zk, zdir, zoff + r - r, zspan, zvalid, csorted,
+            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            phase3="pallas", **jkw)
+        return pairs.pair_id
+
+    timeit("join matcher (pallas p3)",
+           lambda r, *xs: run_join_pl(jnp.int32(r), *xs),
+           zk, zdir, zoff, zspan, zvalid, csorted)
+
     # ---- join, truncated after phase-1 expansion + row-gathers ----
     from smartdenovo_tpu.ops.dotmatrix import RM_BLK
     from smartdenovo_tpu.ops.flatops import expand_ranges
@@ -195,10 +207,13 @@ def main():
         .astype(jnp.int32).reshape(-1), 2)
     qlen_of_pair = jnp.repeat(qlens_d.astype(jnp.int32), Adm * 2)
 
+    live_cands = int(np.asarray((csorted < len(rb)).sum()))
+    pd = Z.pad_pow2(2 * live_cands + 64, lo=1 << 12)
+    print(f"live_cands={live_cands} pd={pd}", flush=True)
     dmkw = dict(n_pairs=Q * Adm * 2, nb=p.nb, xvar=p.xvar, yvar=p.yvar,
                 min_block_len=p.min_block_len, max_overhang=p.max_overhang,
                 deviation_penalty=p.deviation_penalty,
-                gap_penalty=p.gap_penalty, nbk=nbk)
+                gap_penalty=p.gap_penalty, nbk=nbk, pd=pd)
 
     @jax.jit
     def run_dm(r, PBb):
@@ -208,6 +223,28 @@ def main():
         return res.score
 
     timeit("dot_matrix_align (full)", lambda r, Pb: run_dm(jnp.int32(r), Pb), PB)
+
+    @jax.jit
+    def run_dm_sk(r, PBb):
+        res = dot_matrix_align(
+            PBb._replace(off1=PBb.off1 + r - r), qlen_of_pair, clen_of_pair,
+            segk="pallas", **dmkw)
+        return res.score
+
+    timeit("dot_matrix_align (segk=pallas)",
+           lambda r, Pb: run_dm_sk(jnp.int32(r), Pb), PB)
+
+    # ---- dm cumulative stage sweep (each stop point, separately jitted) ----
+    for st in ("sort1", "match_cnt", "blocks", "merge", "windows", "dense"):
+        @functools.partial(jax.jit, static_argnames=())
+        def run_dm_st(r, PBb, _st=st):
+            res = dot_matrix_align(
+                PBb._replace(off1=PBb.off1 + r - r), qlen_of_pair,
+                clen_of_pair, stage=_st, **dmkw)
+            return res.score
+
+        timeit(f"dm stage<={st}",
+               lambda r, Pb, f=run_dm_st: f(jnp.int32(r), Pb), PB)
 
     # ---- dm truncated: first sort + match counts ----
     @jax.jit
@@ -235,6 +272,33 @@ def main():
         return res.score
 
     timeit("join + dot_matrix (fused jit)", lambda r: full_p2(jnp.int32(r)))
+
+    @jax.jit
+    def full_p2_pl(r):
+        pairs = extract_zmer_pairs_join(
+            zk, zdir, zoff + r - r, zspan, zvalid, csorted,
+            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            phase3="pallas", **jkw)
+        res = dot_matrix_align(pairs, qlen_of_pair, clen_of_pair, **dmkw)
+        return res.score
+
+    timeit("join(pallas) + dot_matrix (fused)",
+           lambda r: full_p2_pl(jnp.int32(r)))
+
+    @jax.jit
+    def full_p2_pl2(r):
+        pairs = extract_zmer_pairs_join(
+            zk, zdir, zoff + r - r, zspan, zvalid, csorted,
+            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            phase3="pallas", **jkw)
+        res = dot_matrix_align(pairs, qlen_of_pair, clen_of_pair,
+                               segk="pallas", **dmkw)
+        return res.score
+
+    timeit("join(pallas) + dm(segk=pallas) fused",
+           lambda r: full_p2_pl2(jnp.int32(r)))
+    ptot = int(np.asarray(mk_pairs(jnp.int32(0)).total))
+    print(f"  true match mass (pairs.total) = {ptot} (pb={pb})", flush=True)
 
     out = os.path.join(ROOT, "work", "profile_zmo.json")
     with open(out, "w") as fh:

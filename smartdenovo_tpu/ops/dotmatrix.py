@@ -211,7 +211,7 @@ def extract_zmer_pairs(
 @functools.partial(
     jax.jit,
     static_argnames=("expand_budget", "pair_budget", "kvar", "zbits",
-                     "max_per_read", "qprobe_budget"),
+                     "max_per_read", "qprobe_budget", "phase3"),
 )
 def extract_zmer_pairs_join(
     qz: jnp.ndarray,     # [Q, L] uint32 query zmers
@@ -232,6 +232,9 @@ def extract_zmer_pairs_join(
     zbits: int = 20,      # 2*zsize
     max_per_read: int = 16,
     qprobe_budget: int = 0,   # 0 = no query-side compaction (Q*L wide)
+    phase3: str = "fill",     # "fill" = scatter + forward-fill (XLA);
+                              # "pallas" = sort-compact emitters + the
+                              # streaming ops/pexpand.py kernel (TPU)
 ) -> PairBatch:
     """Per-pair z-mer intersection via one global sort (scalable matcher).
 
@@ -283,7 +286,7 @@ def extract_zmer_pairs_join(
     rows = jnp.where(balive, cstart[bsrc] // RM_BLK + bwithin, 0)  # [NB1]
     zsd = rm_zsd.reshape(-1, RM_BLK)[rows].reshape(-1)   # row-gather [MB]
     cpk = rm_pk.reshape(-1, RM_BLK)[rows].reshape(-1)    # row-gather [MB]
-    cfo = rm_fo.reshape(-1, RM_BLK)[rows].reshape(-1)    # row-gather [MB]
+    del rm_fo  # flipped offsets now recomputed from read_lens in phase 3
     src1c = jnp.broadcast_to(
         bsrc[:, None], (NB1, RM_BLK)).reshape(-1)
     total1 = btot * RM_BLK
@@ -325,52 +328,112 @@ def extract_zmer_pairs_join(
         SENT,
     )
     # payloads: query entries carry their packed fields; candidate entries
-    # carry pk + flipped-offset pk (so phase 3 needs no rm_* gathers);
-    # aux: candidate (query*A + slot) pair row
+    # carry pk; aux: candidate (query*A + slot) pair row
     key = jnp.concatenate([qkey, ckey])
     pay = jnp.concatenate([qpk, cpk])
-    pay2 = jnp.concatenate([jnp.zeros(NQ, jnp.int32), cfo])
     aux = jnp.concatenate([jnp.zeros(NQ, jnp.int32), src1c])
-    key, pay, pay2, aux = jax.lax.sort((key, pay, pay2, aux), num_keys=1)
+    key, pay, aux = jax.lax.sort((key, pay, aux), num_keys=1)
     svalid = key != SENT
     tag1 = svalid & ((key & 1) == 1)
     tag0 = svalid & ((key & 1) == 0)
-    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
     grp = key >> 1
     run_new = jnp.concatenate([jnp.ones(1, bool), grp[1:] != grp[:-1]])
-    run_start = jax.lax.cummax(jnp.where(run_new, iota, -1))
     pre0 = jnp.cumsum(tag0.astype(jnp.int32)) - tag0.astype(jnp.int32)
     pre0_rs = jax.lax.cummax(jnp.where(run_new, pre0, -1))  # pre0 is monotone
     qcnt = pre0 - pre0_rs
     cnt2 = jnp.where(tag1 & (qcnt > 0) & (qcnt < max_per_read), qcnt, 0)
 
     # ---- phase 3: emit n x m co-occurrences --------------------------
+    # Each emitter (candidate entry with 1 <= qcnt < max_per_read) owns a
+    # CONTIGUOUS run of qcnt output slots, so the per-slot source values
+    # are recovered with sorted scatters at the run starts + a forward
+    # fill bounded by max_per_read (4 doubling shifts) — replacing 4
+    # random budget-wide gathers into the 35M-entry sorted arrays with
+    # streaming passes (random HBM gathers are the dominant cost on TPU:
+    # measured 2.1 s -> ~1.0 s for this phase on the v5e bench batch).
     cum2 = jnp.cumsum(cnt2)
     total2 = cum2[-1]
     ost2 = cum2 - cnt2
-    diff2 = run_start - ost2       # [N]: query entry = slot + diff2[src]
-    n2 = cnt2.shape[0]
-    idx2 = jnp.where(cnt2 > 0, jnp.clip(ost2, 0, pair_budget), pair_budget)
-    mark2 = (
-        jnp.zeros(pair_budget + 1, jnp.int32)
-        .at[idx2]
-        .max(jnp.arange(1, n2 + 1, dtype=jnp.int32), mode="drop")[:pair_budget]
-    )
-    src2 = jax.lax.cummax(mark2) - 1
-    src2c = jnp.clip(src2, 0, n2 - 1)
     p2 = jnp.arange(pair_budget, dtype=jnp.int32)
-    qpos = jnp.clip(p2 + diff2[src2c], 0, n2 - 1)      # gather 3 [PB]
-    alive2 = (p2 < total2) & (src2 >= 0)
-    cg = pay[src2c]                                    # gather 4 [PB] cand pk
-    cfo2 = pay2[src2c]                                 # gather 5 [PB] flipped
-    qslot2 = jnp.clip(aux[src2c], 0, n1 - 1)           # gather 6 [PB]
-    qg = pay[qpos]                                     # gather 7 [PB] query pk
+    base_val = pre0_rs - ost2   # query occurrence j of a run lives at
+                                # compact query index base_val + out slot
+    if phase3 == "pallas":
+        # compact the emitters to a dense prefix with the streaming
+        # segment kernel in first-lane mode (each selected entry opens a
+        # segment, so record k = the k-th emitter's lanes, in stream
+        # order; replaces a 5-lane budget-wide sort), then stream the
+        # n x m replication — no budget-wide scatters at all
+        from .pexpand import expand_emit
+        from .sseg import seg_reduce_compact
+
+        n2t = cnt2.shape[0]
+        sel = (cnt2 > 0).astype(jnp.int32)
+        zz = jnp.zeros_like(cnt2)
+        eout, ecnt = seg_reduce_compact(
+            sel, jnp.stack([cnt2, pay, aux, base_val, zz, zz, zz, zz]),
+            ops=("first",) * 8, out_budget=pair_budget)
+        # a leading garbage record appears unless the stream starts with
+        # an emitter (record 0 then covers the unselected prefix)
+        drop = 1 - sel[0]
+        eout = jax.lax.dynamic_slice_in_dim(eout, drop, pair_budget - 1,
+                                            axis=1)
+        nem = ecnt - drop
+        # every emitter fills >= 1 slot, so emitters whose run starts
+        # inside the budget number <= pair_budget
+        NE = min(pair_budget - 128, n2t)
+        ecol = jnp.arange(NE, dtype=jnp.int32)
+        cnt_c = jnp.where(ecol < nem, eout[0, :NE], 0)  # zero tail: the
+        # expand kernel's searchsorted needs a monotone cumsum
+        cg, auxs, bases = expand_emit(
+            cnt_c, eout[1, :NE], eout[2, :NE], eout[3, :NE],
+            pair_budget=pair_budget)
+        alive2 = p2 < total2
+        # if emitters overflow the (budget-128) compact prefix, inflate
+        # the reported total so the caller's overflow redispatch regrows
+        # the budget (possible only when total2 is within 128 of pb)
+        total2 = jnp.where(nem > NE, jnp.int32(pair_budget + 1), total2)
+    else:
+        start_idx = jnp.where(cnt2 > 0, jnp.minimum(ost2, pair_budget),
+                              pair_budget)
+
+        def at_start(vals, fill):
+            return (jnp.full(pair_budget + 1, fill, jnp.int32)
+                    .at[start_idx].set(vals.astype(jnp.int32),
+                                       mode="drop")[:pair_budget])
+
+        cgs = at_start(pay, 0)                      # candidate pk per run
+        auxs = at_start(aux, 0)                     # (q*A + slot) per run
+        bases = at_start(base_val, 0)
+        filled = at_start(jnp.ones_like(cnt2), 0) > 0
+        for sh in (1, 2, 4, 8):                     # gaps < max_per_read <= 16
+            take = ~filled
+
+            def sr(x):
+                return jnp.concatenate([jnp.zeros(sh, x.dtype), x[:-sh]])
+
+            cgs = jnp.where(take, sr(cgs), cgs)
+            auxs = jnp.where(take, sr(auxs), auxs)
+            bases = jnp.where(take, sr(bases), bases)
+            filled = filled | sr(filled)
+        alive2 = (p2 < total2) & filled
+        cg = cgs
+    # compact query-payload table (pre0 is the dense index of each query
+    # entry): ONE remaining gather, into this small table
+    qdst = jnp.where(tag0, jnp.minimum(pre0, NQ), NQ)
+    qpayc = (jnp.zeros(NQ + 1, jnp.int32)
+             .at[qdst].set(pay, mode="drop")[:NQ])
+    qg = qpayc[jnp.clip(bases + p2, 0, NQ - 1)]
+    qslot2 = jnp.clip(auxs, 0, n1 - 1)
+    # candidate read length via two small-table gathers (drops the rm_fo
+    # lane from the sort entirely)
+    cand2 = jnp.clip(c.reshape(-1)[qslot2], 0, R - 1)
+    clen2 = read_lens[cand2].astype(jnp.int32)
     q_off = qg >> 9
     q_span = (qg >> 1) & 0xFF
     p_off = cg >> 9
     p_span = (cg >> 1) & 0xFF
     pairdir = (qg ^ cg) & 1
-    o2 = jnp.where(pairdir == 1, cfo2 >> 9, p_off)
+    o2 = jnp.where(pairdir == 1, clen2 - (p_off + p_span), p_off)
     len_ok = alive2 & (jnp.abs(q_span - p_span) <= kvar)
     pair_id = jnp.where(len_ok, qslot2 * 2 + pairdir, BIGP)
     return PairBatch(
@@ -735,18 +798,19 @@ def _sweep_emit(qrids, cands_sorted, slot_table, rm_zsd, rm_pk, rm_rd,
 class DotMatrixResult(NamedTuple):
     match_cnt: jnp.ndarray  # [Q*A*2] int32 seed matches per pair id
     blk_total: jnp.ndarray  # scalar int32: blocks formed (vs nbk budget)
-    pair_id: jnp.ndarray  # [NP] int32 (BIGP pad)
-    score: jnp.ndarray    # [NP] int32 chained coverage weight
-    tb: jnp.ndarray       # [NP] int32 query begin
-    te: jnp.ndarray       # [NP] int32 query end
-    qb: jnp.ndarray       # [NP] int32 candidate begin
-    qe: jnp.ndarray       # [NP] int32 candidate end
+    row_total: jnp.ndarray  # scalar int32: live pair rows (vs pd budget)
+    pair_id: jnp.ndarray  # [PD] int32 (BIGP pad); PD = pd or n_pairs
+    score: jnp.ndarray    # [PD] int32 chained coverage weight
+    tb: jnp.ndarray       # [PD] int32 query begin
+    te: jnp.ndarray       # [PD] int32 query end
+    qb: jnp.ndarray       # [PD] int32 candidate begin
+    qe: jnp.ndarray       # [PD] int32 candidate end
     # chained window blocks (anchor regions) per pair, beg0-sorted:
-    blk_b0: jnp.ndarray   # [NP, NB] int32 query-axis begin
-    blk_e0: jnp.ndarray   # [NP, NB] int32 query-axis end
-    blk_b1: jnp.ndarray   # [NP, NB] int32 candidate-axis begin
-    blk_e1: jnp.ndarray   # [NP, NB] int32 candidate-axis end
-    blk_on: jnp.ndarray   # [NP, NB] bool  True if the block is on the chain
+    blk_b0: jnp.ndarray   # [PD, NB] int32 query-axis begin
+    blk_e0: jnp.ndarray   # [PD, NB] int32 query-axis end
+    blk_b1: jnp.ndarray   # [PD, NB] int32 candidate-axis begin
+    blk_e1: jnp.ndarray   # [PD, NB] int32 candidate-axis end
+    blk_on: jnp.ndarray   # [PD, NB] bool  True if the block is on the chain
 
 
 def _seg_firsts(valid_first, seg_id, vals, n_seg, fill):
@@ -756,10 +820,21 @@ def _seg_firsts(valid_first, seg_id, vals, n_seg, fill):
     )
 
 
+def _stage_result(score_like):
+    """Truncated-stage dummy result (profiling only)."""
+    z = jnp.zeros(1, jnp.int32)
+    z2 = jnp.zeros((1, 1), jnp.int32)
+    return DotMatrixResult(
+        match_cnt=z, blk_total=jnp.int32(0), row_total=jnp.int32(0),
+        pair_id=z, score=score_like.reshape(-1), tb=z, te=z, qb=z, qe=z,
+        blk_b0=z2, blk_e0=z2, blk_b1=z2, blk_e1=z2,
+        blk_on=z2 > 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_pairs", "nb", "xvar", "yvar", "min_block_len", "max_overhang",
-                     "nbk"),
+                     "nbk", "pd", "stage", "segk"),
 )
 def dot_matrix_align(
     pairs: PairBatch,
@@ -777,6 +852,16 @@ def dot_matrix_align(
     nbk: int | None = None,  # block budget: merge phase runs at this width
                              # (blocks are ~10-50x fewer than matches; the
                              # caller redispatches if blk_total overflows)
+    pd: int | None = None,   # dense pair-row budget: the chain DP and the
+                             # [rows, nb] window tables run at this width
+                             # (live pairs are ~2 x live candidates, a few
+                             # percent of Q*A*2; caller redispatches if
+                             # row_total overflows)
+    stage: str = "full",     # profiling stop point: sort1 | match_cnt |
+                             # blocks | merge | windows | dense | full
+    segk: str = "fill",      # segment-reduce strategy: "fill" = XLA
+                             # segment scatters; "pallas" = the streaming
+                             # ops/sseg.py kernel (TPU)
 ) -> DotMatrixResult:
     PB = pairs.pair_id.shape[0]
     if nbk is None:
@@ -790,23 +875,28 @@ def dot_matrix_align(
     k1, k2, k3, o2, l1, l2 = jax.lax.sort(
         (k1, k2, k3, pairs.off2, pairs.len1, pairs.len2), num_keys=3
     )
+    if stage == "sort1":
+        return _stage_result(k1[::1024].sum() + o2[::1024].sum())
     live = k1 < BIGP
     pair_new = jnp.concatenate([jnp.ones(1, bool), k1[1:] != k1[:-1]])
-    # per-pair seed-match counts: two boundary scatter-sets of the live
-    # cumsum (start and end per pair run) — no budget-wide gather
-    ones_c = jnp.cumsum(live.astype(jnp.int32))
-    seg_last = jnp.concatenate([pair_new[1:], jnp.ones(1, bool)])
-    endC = (
-        jnp.zeros(int(BIGP) + 1, jnp.int32)
-        .at[jnp.where(seg_last & live, k1, BIGP)]
-        .set(ones_c, mode="drop")[: int(BIGP)]
-    )
-    startC = (
-        jnp.zeros(int(BIGP) + 1, jnp.int32)
-        .at[jnp.where(pair_new & live, k1, BIGP)]
-        .set(ones_c - live.astype(jnp.int32), mode="drop")[: int(BIGP)]
-    )
-    match_cnt = endC - startC
+    if segk == "fill":
+        # per-pair seed-match counts: two boundary scatter-sets of the
+        # live cumsum (start and end per run) — no budget-wide gather
+        ones_c = jnp.cumsum(live.astype(jnp.int32))
+        seg_last = jnp.concatenate([pair_new[1:], jnp.ones(1, bool)])
+        endC = (
+            jnp.zeros(int(BIGP) + 1, jnp.int32)
+            .at[jnp.where(seg_last & live, k1, BIGP)]
+            .set(ones_c, mode="drop")[: int(BIGP)]
+        )
+        startC = (
+            jnp.zeros(int(BIGP) + 1, jnp.int32)
+            .at[jnp.where(pair_new & live, k1, BIGP)]
+            .set(ones_c - live.astype(jnp.int32), mode="drop")[: int(BIGP)]
+        )
+        match_cnt = endC - startC
+        if stage == "match_cnt":   # fill-only profiling stop point
+            return _stage_result(match_cnt[::64].sum())
     grp_new = pair_new | jnp.concatenate([jnp.ones(1, bool), (k2[1:] - k2[:-1]) > yvar])
     grp_id = jnp.cumsum(grp_new.astype(jnp.int32)) - 1
     # re-sort within diagonal groups by off1
@@ -820,21 +910,66 @@ def dot_matrix_align(
         jnp.concatenate([jnp.ones(1, bool), g1[1:] != g1[:-1]])
         | (o1 > prev_end1 + xvar)
     )
-    blk_id = jnp.maximum(jnp.cumsum(blk_new.astype(jnp.int32)) - 1, 0)
-    blk_total = blk_id[-1] + 1
     contrib = jnp.where(blk_new, l1, (o1 + l1) - prev_end1)
     contrib = jnp.where(live, contrib, 0)
-    # block ids are dense-sequential, so reductions land directly in the
-    # compact [nbk] block space and the whole merge phase runs ~PB/nbk x
-    # narrower; out-of-budget ids drop (caller checks blk_total)
     nseg = nbk
-    b_w = jax.ops.segment_sum(contrib, blk_id, num_segments=nseg)
-    b_beg0 = jax.ops.segment_min(jnp.where(live, o1, INT32_MAX), blk_id, num_segments=nseg)
-    b_end0 = jax.ops.segment_max(jnp.where(live, o1 + l1, 0), blk_id, num_segments=nseg)
-    b_beg1 = jax.ops.segment_min(jnp.where(live, o2, INT32_MAX), blk_id, num_segments=nseg)
-    b_end1 = jax.ops.segment_max(jnp.where(live, o2 + l2, 0), blk_id, num_segments=nseg)
-    b_pid = _seg_firsts(blk_new & live, blk_id, pid, nseg, int(BIGP))
+    if segk == "pallas":
+        # ONE streaming pass (ops/sseg.py) replaces the 6 segment
+        # scatters AND the match_cnt boundary scatters: records arrive
+        # compacted in block order, garbage past the count masked here
+        from .sseg import seg_reduce_compact
+
+        zeros = jnp.zeros_like(o1)
+        v8 = jnp.stack([
+            contrib,
+            jnp.where(live, o1, INT32_MAX),
+            jnp.where(live, o2, INT32_MAX),
+            jnp.where(live, o1 + l1, 0),
+            jnp.where(live, o2 + l2, 0),
+            pid, zeros, zeros,
+        ])
+        out8, blk_total = seg_reduce_compact(
+            blk_new.astype(jnp.int32), v8, out_budget=nseg)
+        bcol = jnp.arange(nseg, dtype=jnp.int32)
+        bmask = bcol < blk_total
+        b_w = jnp.where(bmask, out8[0], 0)
+        b_beg0 = jnp.where(bmask, out8[1], INT32_MAX)
+        b_beg1 = jnp.where(bmask, out8[2], INT32_MAX)
+        b_end0 = jnp.where(bmask, out8[3], 0)
+        b_end1 = jnp.where(bmask, out8[4], 0)
+        b_pid = jnp.where(bmask, out8[5], jnp.int32(BIGP))
+        # per-pair match counts from the same stream (pair runs are
+        # contiguous within the group sort)
+        pnew2 = jnp.concatenate([jnp.ones(1, bool), pid[1:] != pid[:-1]])
+        v8c = jnp.stack([live.astype(jnp.int32), zeros, zeros, zeros,
+                         zeros, pid, zeros, zeros])
+        mcb = pd if pd is not None else int(BIGP)
+        cout, ccnt = seg_reduce_compact(
+            pnew2.astype(jnp.int32), v8c, out_budget=mcb)
+        ccol = jnp.arange(mcb, dtype=jnp.int32)
+        cpid = jnp.where((ccol < ccnt) & (cout[5] < BIGP), cout[5],
+                         jnp.int32(BIGP))
+        match_cnt = (
+            jnp.zeros(int(BIGP) + 1, jnp.int32)
+            .at[cpid].set(cout[0], mode="drop")[: int(BIGP)]
+        )
+    else:
+        blk_id = jnp.maximum(jnp.cumsum(blk_new.astype(jnp.int32)) - 1, 0)
+        blk_total = blk_id[-1] + 1
+        # block ids are dense-sequential, so reductions land directly in
+        # the compact [nbk] block space and the whole merge phase runs
+        # ~PB/nbk x narrower; out-of-budget ids drop (caller checks
+        # blk_total)
+        b_w = jax.ops.segment_sum(contrib, blk_id, num_segments=nseg, indices_are_sorted=True)
+        b_beg0 = jax.ops.segment_min(jnp.where(live, o1, INT32_MAX), blk_id, num_segments=nseg, indices_are_sorted=True)
+        b_end0 = jax.ops.segment_max(jnp.where(live, o1 + l1, 0), blk_id, num_segments=nseg, indices_are_sorted=True)
+        b_beg1 = jax.ops.segment_min(jnp.where(live, o2, INT32_MAX), blk_id, num_segments=nseg, indices_are_sorted=True)
+        b_end1 = jax.ops.segment_max(jnp.where(live, o2 + l2, 0), blk_id, num_segments=nseg, indices_are_sorted=True)
+        b_pid = _seg_firsts(blk_new & live, blk_id, pid, nseg, int(BIGP))
     b_live = (b_pid < BIGP) & (b_w >= min_block_len)
+    if stage == "blocks":
+        return _stage_result(b_w[::64].sum() + b_beg0[::64].sum()
+                             + b_pid[::64].sum())
     # ---- fast merge: single-linkage over blocks at (xvar, 2*yvar) scale ----
     m1 = jnp.where(b_live, b_pid, jnp.int32(BIGP))
     m2 = jnp.where(b_live, b_beg0 - b_beg1, INT32_MAX)
@@ -858,36 +993,68 @@ def dot_matrix_align(
         jnp.concatenate([jnp.ones(1, bool), h1[1:] != h1[:-1]])
         | (hb0 > prev_he0 + xvar)
     )
-    w_id = jnp.maximum(jnp.cumsum(w_new.astype(jnp.int32)) - 1, 0)
-    W_w = jax.ops.segment_sum(jnp.where(hlive, hw, 0), w_id, num_segments=nseg)
-    W_b0 = jax.ops.segment_min(jnp.where(hlive, hb0, INT32_MAX), w_id, num_segments=nseg)
-    W_e0 = jax.ops.segment_max(jnp.where(hlive, he0, 0), w_id, num_segments=nseg)
-    W_b1 = jax.ops.segment_min(jnp.where(hlive, hb1, INT32_MAX), w_id, num_segments=nseg)
-    W_e1 = jax.ops.segment_max(jnp.where(hlive, he1, 0), w_id, num_segments=nseg)
-    W_pid = _seg_firsts(w_new & hlive, w_id, hpid, nseg, int(BIGP))
+    if segk == "pallas":
+        from .sseg import seg_reduce_compact
+
+        zw = jnp.zeros_like(hw)
+        v8w = jnp.stack([
+            jnp.where(hlive, hw, 0),
+            jnp.where(hlive, hb0, INT32_MAX),
+            jnp.where(hlive, hb1, INT32_MAX),
+            jnp.where(hlive, he0, 0),
+            jnp.where(hlive, he1, 0),
+            hpid, zw, zw,
+        ])
+        outw, wtot = seg_reduce_compact(
+            w_new.astype(jnp.int32), v8w, out_budget=nseg)
+        wcol = jnp.arange(nseg, dtype=jnp.int32)
+        wmask = wcol < wtot
+        W_w = jnp.where(wmask, outw[0], 0)
+        W_b0 = jnp.where(wmask, outw[1], INT32_MAX)
+        W_b1 = jnp.where(wmask, outw[2], INT32_MAX)
+        W_e0 = jnp.where(wmask, outw[3], 0)
+        W_e1 = jnp.where(wmask, outw[4], 0)
+        W_pid = jnp.where(wmask, outw[5], jnp.int32(BIGP))
+    else:
+        w_id = jnp.maximum(jnp.cumsum(w_new.astype(jnp.int32)) - 1, 0)
+        W_w = jax.ops.segment_sum(jnp.where(hlive, hw, 0), w_id, num_segments=nseg, indices_are_sorted=True)
+        W_b0 = jax.ops.segment_min(jnp.where(hlive, hb0, INT32_MAX), w_id, num_segments=nseg, indices_are_sorted=True)
+        W_e0 = jax.ops.segment_max(jnp.where(hlive, he0, 0), w_id, num_segments=nseg, indices_are_sorted=True)
+        W_b1 = jax.ops.segment_min(jnp.where(hlive, hb1, INT32_MAX), w_id, num_segments=nseg, indices_are_sorted=True)
+        W_e1 = jax.ops.segment_max(jnp.where(hlive, he1, 0), w_id, num_segments=nseg, indices_are_sorted=True)
+        W_pid = _seg_firsts(w_new & hlive, w_id, hpid, nseg, int(BIGP))
     W_live = W_pid < BIGP
-    # ---- gather top-nb windows per pair into dense [n_pairs, nb] ----
+    if stage == "merge":
+        return _stage_result(W_w[::64].sum() + W_pid[::64].sum())
+    # ---- gather top-nb windows per pair into dense [pd, nb] ----
+    # live rows pack at the front (row_of is a dense rank), so the chain
+    # DP runs at the pd budget instead of the full Q*A*2 row space
+    if pd is None:
+        pd = n_pairs
     s1 = jnp.where(W_live, W_pid, jnp.int32(BIGP))
     s2 = jnp.where(W_live, INT32_MAX - W_w, INT32_MAX)
     s1, s2, sb0, se0, sb1, se1 = jax.lax.sort(
         (s1, s2, W_b0, W_e0, W_b1, W_e1), num_keys=2
     )
     sw = jnp.where(s1 < BIGP, INT32_MAX - s2, 0)
+    if stage == "windows":
+        return _stage_result(sw[::64].sum() + s1[::64].sum())
     srow_new = jnp.concatenate([jnp.ones(1, bool), s1[1:] != s1[:-1]]) & (s1 < BIGP)
     row_of = jnp.cumsum(srow_new.astype(jnp.int32)) - 1  # dense row index
+    row_total = row_of[-1] + 1
     pos = jnp.arange(nseg, dtype=jnp.int32)
-    row_first = jnp.full(n_pairs + 1, 0, jnp.int32).at[
-        jnp.where(srow_new & (row_of < n_pairs), row_of, n_pairs)
-    ].set(pos, mode="drop")[:n_pairs]
-    col = pos - row_first[jnp.clip(row_of, 0, n_pairs - 1)]
-    ok = (s1 < BIGP) & (col < nb) & (row_of < n_pairs)
-    r = jnp.where(ok, row_of, n_pairs)
+    row_first = jnp.full(pd + 1, 0, jnp.int32).at[
+        jnp.where(srow_new & (row_of < pd), row_of, pd)
+    ].set(pos, mode="drop")[:pd]
+    col = pos - row_first[jnp.clip(row_of, 0, pd - 1)]
+    ok = (s1 < BIGP) & (col < nb) & (row_of < pd)
+    r = jnp.where(ok, row_of, pd)
     c = jnp.where(ok, col, 0)
     def dense(vals, fill):
         return (
-            jnp.full((n_pairs + 1, nb), fill, jnp.int32)
+            jnp.full((pd + 1, nb), fill, jnp.int32)
             .at[r, c]
-            .set(vals, mode="drop")[:n_pairs]
+            .set(vals, mode="drop")[:pd]
         )
     D_b0 = dense(sb0, int(INT32_MAX))
     D_e0 = dense(se0, 0)
@@ -895,11 +1062,13 @@ def dot_matrix_align(
     D_e1 = dense(se1, 0)
     D_w = dense(sw, 0)
     D_pid = (
-        jnp.full(n_pairs + 1, int(BIGP), jnp.int32)
-        .at[jnp.where(srow_new & (row_of < n_pairs), row_of, n_pairs)]
-        .set(s1, mode="drop")[:n_pairs]
+        jnp.full(pd + 1, int(BIGP), jnp.int32)
+        .at[jnp.where(srow_new & (row_of < pd), row_of, pd)]
+        .set(s1, mode="drop")[:pd]
     )
     D_valid = D_w > 0
+    if stage == "dense":
+        return _stage_result(D_w[::8].sum() + D_pid[::8].sum())
     # re-sort each row by beg0 for the chain DP
     key = jnp.where(D_valid, D_b0, INT32_MAX)
     key, D_e0, D_b1, D_e1, D_w, D_b0 = jax.lax.sort(
@@ -996,6 +1165,7 @@ def dot_matrix_align(
     return DotMatrixResult(
         match_cnt=match_cnt,
         blk_total=blk_total,
+        row_total=row_total,
         pair_id=D_pid, score=score, tb=tb_, te=te_, qb=qb_, qe=qe_,
         blk_b0=D_b0, blk_e0=D_e0, blk_b1=D_b1, blk_e1=D_e1, blk_on=mark,
     )

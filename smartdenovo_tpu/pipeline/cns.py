@@ -66,6 +66,8 @@ class CnsParams:
     # insertion (reference kswx_refine_alignment, wtcns.c:372-381) —
     # canonical affine gap placement is what lets the DAG votes stack
     refine: bool = True
+    refine_w: int = 64         # refine band base (reference -r is 8 with
+                               # local indel widening, kswx.h:526-601)
     refine_open_i: int = -2    # reference wtcns -I
     refine_open_d: int = -3    # reference wtcns -D
     refine_ext: int = -1       # reference -E
@@ -366,7 +368,7 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
                 g[2].append(i)
             rpairs, rcigs, rmap = groups["plain"]
             refined = refine_alignment_batch(
-                rpairs, rcigs, W_base=64, match=p.match,
+                rpairs, rcigs, W_base=p.refine_w, match=p.match,
                 mismatch=p.mismatch, open_i=p.refine_open_i,
                 open_d=p.refine_open_d, ext=p.refine_ext)
             for i, r in zip(rmap, refined):
@@ -375,7 +377,7 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
             if qpairs:
                 refined = refine5q_alignment_batch(
                     qpairs, [m[1] for m in qmeta], [m[0] for m in qmeta],
-                    W_base=64)
+                    W_base=p.refine_w)
                 for i, r in zip(qmap, refined):
                     cigs[i] = (r["ops"], r["counts"])
         for i in range(B):

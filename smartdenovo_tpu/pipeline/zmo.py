@@ -115,6 +115,14 @@ class ZmoParams:
                               #   probes);
                               # "vtab" = direct-addressed (q, zmer) table;
                               # "join" = global sort-join (reference sizes)
+    phase3: str = "auto"      # join-matcher emit strategy: "pallas" =
+                              # ops/pexpand.py streaming kernel, "fill" =
+                              # XLA scatter + forward fill, "auto" =
+                              # pallas on TPU / fill elsewhere
+    segk: str = "auto"        # dot-matrix segment-reduce strategy:
+                              # "pallas" = ops/sseg.py streaming kernel,
+                              # "fill" = XLA segment scatters, "auto" =
+                              # pallas on TPU / fill elsewhere
 
     # SW (zmo) engine
     engine: str = "dm"        # "dm" = dot-matrix (-U), "sw" = banded local DP
@@ -209,9 +217,10 @@ def _cand_core(rids, qlens, qskip, k16, didx, read_lens,
     c = jnp.clip(csorted, 0, n - 1)
     zneed = jnp.sum(jnp.where(
         csorted < n, didx.rm_start[c + 1] - didx.rm_start[c], 0))
+    live_cands = jnp.sum((csorted < n).astype(jnp.int32))
     sizes = jnp.stack([
         zneed.astype(jnp.int32), cand_total.astype(jnp.int32),
-        probe_total.astype(jnp.int32), jnp.int32(0)])
+        probe_total.astype(jnp.int32), live_cands])
     return csorted, osorted, sizes
 
 
@@ -232,17 +241,17 @@ def _cand_scan_device(rids_all, qlens_all, qskip_all, k16: FlatSeeds,
     return candbuf, olbuf, sizebuf
 
 
-_PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "cx", "qkb", "nb",
+_PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "pd", "cx", "qkb", "nb",
                  "kvar", "zbits", "max_per_read", "xvar", "yvar",
                  "min_block_len", "max_overhang", "deviation_penalty",
-                 "gap_penalty", "matcher")
+                 "gap_penalty", "matcher", "phase3", "segk")
 
 
 def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
                *, Q, Lc, Adm, mb, pb, nbk, qkb, nb, kvar, zbits,
                max_per_read, xvar, yvar, min_block_len, max_overhang,
                deviation_penalty, gap_penalty, matcher="sweep", cx=0,
-               **_unused):
+               pd=None, phase3="fill", segk="fill", **_unused):
     n = read_lens.shape[0]
     if matcher == "sweep":
         # mb = occurrence width (exact from stats), cx = cross-expansion
@@ -268,7 +277,7 @@ def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
             zk, zdir, zoff, zspan, zvalid, csorted,
             didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens,
             expand_budget=mb, pair_budget=pb, kvar=kvar, zbits=zbits,
-            max_per_read=max_per_read, qprobe_budget=qkb,
+            max_per_read=max_per_read, qprobe_budget=qkb, phase3=phase3,
         )
     clen_of_pair = jnp.repeat(
         jnp.where(csorted < n, read_lens[jnp.clip(csorted, 0, n - 1)], 0)
@@ -279,10 +288,11 @@ def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
         n_pairs=Q * Adm * 2, nb=nb, xvar=xvar, yvar=yvar,
         min_block_len=min_block_len, max_overhang=max_overhang,
         deviation_penalty=deviation_penalty, gap_penalty=gap_penalty, nbk=nbk,
+        pd=pd, segk=segk,
     )
     totals = jnp.stack([
         pairs.total.astype(jnp.int32), pairs.expand_total.astype(jnp.int32),
-        res.blk_total.astype(jnp.int32), jnp.int32(0),
+        res.blk_total.astype(jnp.int32), res.row_total.astype(jnp.int32),
     ])
     return res, totals
 
@@ -515,12 +525,11 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         size_chunks.append(sb)
     candbuf = jnp.concatenate(cand_chunks) if len(cand_chunks) > 1 else cand_chunks[0]
     # sync 2: phase-2 sizes.  sizes[:, 0] is the join matcher's exact
-    # expansion mass (sum of candidates' posting counts); the sweep's mass
-    # comes from the index stats (per-read cross sums) with no sync.
-    # "auto" needs both to pick the cheaper matcher per chunk.
-    sizes = (np.asarray(jnp.concatenate(size_chunks)
-                        if len(size_chunks) > 1 else size_chunks[0])
-             if p.matcher != "sweep" else None)
+    # expansion mass (sum of candidates' posting counts); sizes[:, 3] the
+    # live candidate count (sizes the dense pair-row budget pd for every
+    # matcher).  "auto" needs both masses to pick the cheaper matcher.
+    sizes = np.asarray(jnp.concatenate(size_chunks)
+                       if len(size_chunks) > 1 else size_chunks[0])
     t2 = time.time()
     if progress:
         log("phase1 done: %.1fs", t2 - t1)
@@ -539,17 +548,26 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         qkb = qkb_c
     else:
         qkb = max(qkb_z, qkb_c)
+    # dense pair-row budget: live pairs <= 2 dirs x live candidate slots
+    # (exact from phase-1 stats); one global tier so chunk pack rows agree
+    pd = pad_pow2(2 * int(sizes[:, 3].max()) + 64, lo=1 << 12)
+    ph3 = p.phase3
+    sgk = p.segk
+    if sgk == "auto":
+        sgk = "pallas" if jax.default_backend() == "tpu" else "fill"
+    if ph3 == "auto":
+        ph3 = "pallas" if jax.default_backend() == "tpu" else "fill"
     pair_static = dict(
         Q=Q, Lc=Lc, Adm=Adm, qkb=qkb, nb=p.nb, kvar=p.kvar,
         zbits=2 * p.zsize, max_per_read=p.max_zmer_freq, xvar=p.xvar,
         yvar=p.yvar, min_block_len=p.min_block_len,
         max_overhang=p.max_overhang, deviation_penalty=p.deviation_penalty,
-        gap_penalty=p.gap_penalty,
+        gap_penalty=p.gap_penalty, pd=pd, phase3=ph3, segk=sgk,
     )
     if sw_engine:
         pair_static.update(C=C, Ltier=Ltier, W=p.band_w, match=p.sw_match,
                            mismatch=p.sw_mismatch, gap=p.sw_gap)
-    K = (9 * Q * C + 4) if sw_engine else (7 * NP + 4)
+    K = (9 * Q * C + 4) if sw_engine else (6 * pd + NP + 4)
 
     def pair_budgets(zneed, matcher):
         # measured on the bench set: match mass ~0.53x expansion, blocks
@@ -648,10 +666,12 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         log("overlap device pipeline: %d batches in %.1fs", B, time.time() - t1)
 
     # ---- overflow redispatch (rare; overflowing budgets grow to fit) ----
+    pack_rows = [packs[bi] for bi in range(B)]
+    batch_pd = [pd] * B
     for bi in range(B):
         st2 = dict(batch_static[bi])
         for _attempt in range(4):
-            ptot, etot, btot, _ = (int(x) for x in packs[bi, -4:])
+            ptot, etot, btot, rtot = (int(x) for x in pack_rows[bi][-4:])
             ov = {}
             # the expansion axis is cx for the sweep (cross mass, reported
             # as expand_total), mb for the join/vtab paths
@@ -667,16 +687,20 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
                 ov["pb"] = pad_pow2(ptot + 1024)
             if btot > st2["nbk"]:
                 ov["nbk"] = pad_pow2(btot + 1024)
+            if not sw_engine and rtot > st2["pd"]:
+                ov["pd"] = pad_pow2(rtot + 64)
             if not ov:
                 break
             st2.update(ov)
-            log("budget overflow batch %d (pair %d expand %d blk %d): redispatch",
-                bi, ptot, etot, btot)
-            tmp = jnp.zeros((1, K), jnp.int32)
+            log("budget overflow batch %d (pair %d expand %d blk %d rows %d):"
+                " redispatch", bi, ptot, etot, btot, rtot)
+            K2 = (9 * Q * C + 4) if sw_engine else (6 * st2["pd"] + NP + 4)
+            tmp = jnp.zeros((1, K2), jnp.int32)
             tmp = dispatch_pair(tmp, 0, all_rids[bi],
                                 rb.lengths[all_rids[bi]].astype(np.int32), st2,
                                 cb=candbuf[bi: bi + 1])
-            packs[bi] = np.asarray(tmp)[0]
+            pack_rows[bi] = np.asarray(tmp)[0]
+            batch_pd[bi] = st2.get("pd", pd)
 
     # ---- host emission (sequential reference semantics) ----
     overlaps: list[Overlap] = []
@@ -695,13 +719,13 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     for bi in range(B):
         csorted = csorted_all[bi].reshape(Q, Adm)
         if sw_engine:
-            _emit_batch_sw(rb, p, all_rids[bi], packs[bi], csorted, Q, Adm, C,
-                           rdcovs, rdmask, overlaps, emitted_pairs,
+            _emit_batch_sw(rb, p, all_rids[bi], pack_rows[bi], csorted, Q,
+                           Adm, C, rdcovs, rdmask, overlaps, emitted_pairs,
                            pre_pairs, attempted_out, avg_len)
         else:
-            _emit_batch_dm(rb, p, all_rids[bi], packs[bi], csorted, Q, Adm,
-                           rdcovs, rdmask, overlaps, emitted_pairs,
-                           pre_pairs, attempted_out, avg_len)
+            _emit_batch_dm(rb, p, all_rids[bi], pack_rows[bi], csorted, Q,
+                           Adm, rdcovs, rdmask, overlaps, emitted_pairs,
+                           pre_pairs, attempted_out, avg_len, pd=batch_pd[bi])
     if progress:
         log("overlap done: %d overlaps in %.1fs", len(overlaps), time.time() - t0)
     return overlaps
@@ -713,17 +737,21 @@ def _nbest_of(p, length, avg_len):
 
 
 def _emit_batch_dm(rb, p, rids, row, csorted, Q, A, rdcovs, rdmask, overlaps,
-                   emitted_pairs, pre_pairs, attempted_out, avg_len):
-    """Host-side combine (vectorised): dir choice, ztot gate, ledger, dedup."""
+                   emitted_pairs, pre_pairs, attempted_out, avg_len, pd=None):
+    """Host-side combine (vectorised): dir choice, ztot gate, ledger, dedup.
+
+    pd: dense pair-row width of the packed result arrays (None = the full
+    positional Q*A*2 layout used by the sharded/gpass drivers)."""
     n = len(rb)
     NP = Q * A * 2
-    pair_id = row[0: NP]
-    score_a = row[NP: 2 * NP]
-    tb_a = row[2 * NP: 3 * NP]
-    te_a = row[3 * NP: 4 * NP]
-    qb_a = row[4 * NP: 5 * NP]
-    qe_a = row[5 * NP: 6 * NP]
-    match_cnt = row[6 * NP: 7 * NP]
+    W = NP if pd is None else pd
+    pair_id = row[0: W]
+    score_a = row[W: 2 * W]
+    tb_a = row[2 * W: 3 * W]
+    te_a = row[3 * W: 4 * W]
+    qb_a = row[4 * W: 5 * W]
+    qe_a = row[5 * W: 6 * W]
+    match_cnt = row[6 * W: 6 * W + NP]
     lens = rb.lengths[rids]
     rowmap = np.full(NP + 1, -1, np.int64)
     livep = pair_id < NP
@@ -735,13 +763,13 @@ def _emit_batch_dm(rb, p, rids, row, csorted, Q, A, rdcovs, rdmask, overlaps,
     pid0 = (np.arange(Q)[:, None] * A + np.arange(A)[None, :]) * 2
     r0 = rowmap[np.minimum(pid0, NP)]
     r1 = rowmap[np.minimum(pid0 + 1, NP)]
-    w0 = np.where(r0 >= 0, score_a[np.clip(r0, 0, NP - 1)], 0)
-    w1 = np.where(r1 >= 0, score_a[np.clip(r1, 0, NP - 1)], 0)
+    w0 = np.where(r0 >= 0, score_a[np.clip(r0, 0, W - 1)], 0)
+    w1 = np.where(r1 >= 0, score_a[np.clip(r1, 0, W - 1)], 0)
     d_best = (w0 < w1).astype(np.int64)
     r_best = np.where(d_best == 1, r1, r0)
     w_best = np.where(d_best == 1, w1, w0)
     has_row = r_best >= 0
-    rb_c = np.clip(r_best, 0, NP - 1)
+    rb_c = np.clip(r_best, 0, W - 1)
     tb = tb_a[rb_c]
     te = te_a[rb_c]
     qb = qb_a[rb_c]
