@@ -149,6 +149,19 @@ def main():
            lambda r, *xs: run_join_pl(jnp.int32(r), *xs),
            zk, zdir, zoff, zspan, zvalid, csorted)
 
+    # ---- join cumulative stage sweep (pallas path) ----
+    for st in ("sort", "scans", "compact", "expand"):
+        @jax.jit
+        def run_join_st(r, _st=st):
+            pairs = extract_zmer_pairs_join(
+                zk, zdir, zoff + r - r, zspan, zvalid, csorted,
+                didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start,
+                read_lens_d, phase3="pallas", stage=_st, **jkw)
+            return pairs.pair_id
+
+        timeit(f"join stage<={st}",
+               lambda r, f=run_join_st: f(jnp.int32(r)))
+
     # ---- join, truncated after phase-1 expansion + row-gathers ----
     from smartdenovo_tpu.ops.dotmatrix import RM_BLK
     from smartdenovo_tpu.ops.flatops import expand_ranges

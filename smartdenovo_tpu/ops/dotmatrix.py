@@ -208,10 +208,19 @@ def extract_zmer_pairs(
     )
 
 
+def _join_stage_result(probe, n_pairs):
+    """Truncated-stage dummy PairBatch (profiling only)."""
+    z = jnp.zeros(1, jnp.int32)
+    return PairBatch(pair_id=probe.astype(jnp.int32).reshape(1), off1=z,
+                     off2=z, len1=z, len2=z,
+                     match_cnt=jnp.zeros(n_pairs, jnp.int32),
+                     total=jnp.int32(0), expand_total=jnp.int32(0))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("expand_budget", "pair_budget", "kvar", "zbits",
-                     "max_per_read", "qprobe_budget", "phase3"),
+                     "max_per_read", "qprobe_budget", "phase3", "stage"),
 )
 def extract_zmer_pairs_join(
     qz: jnp.ndarray,     # [Q, L] uint32 query zmers
@@ -235,6 +244,8 @@ def extract_zmer_pairs_join(
     phase3: str = "fill",     # "fill" = scatter + forward-fill (XLA);
                               # "pallas" = sort-compact emitters + the
                               # streaming ops/pexpand.py kernel (TPU)
+    stage: str = "full",      # profiling stop point: sort | scans |
+                              # compact | expand | full
 ) -> PairBatch:
     """Per-pair z-mer intersection via one global sort (scalable matcher).
 
@@ -333,6 +344,9 @@ def extract_zmer_pairs_join(
     pay = jnp.concatenate([qpk, cpk])
     aux = jnp.concatenate([jnp.zeros(NQ, jnp.int32), src1c])
     key, pay, aux = jax.lax.sort((key, pay, aux), num_keys=1)
+    if stage == "sort":
+        return _join_stage_result(key[::1024].sum() + pay[::1024].sum(),
+                                  Q * A * 2)
     svalid = key != SENT
     tag1 = svalid & ((key & 1) == 1)
     tag0 = svalid & ((key & 1) == 0)
@@ -357,6 +371,9 @@ def extract_zmer_pairs_join(
     p2 = jnp.arange(pair_budget, dtype=jnp.int32)
     base_val = pre0_rs - ost2   # query occurrence j of a run lives at
                                 # compact query index base_val + out slot
+    if stage == "scans":
+        return _join_stage_result(
+            cnt2[::1024].sum() + base_val[::1024].sum() + total2, Q * A * 2)
     if phase3 == "pallas":
         # compact the emitters to a dense prefix with the streaming
         # segment kernel in first-lane mode (each selected entry opens a
@@ -384,10 +401,17 @@ def extract_zmer_pairs_join(
         ecol = jnp.arange(NE, dtype=jnp.int32)
         cnt_c = jnp.where(ecol < nem, eout[0, :NE], 0)  # zero tail: the
         # expand kernel's searchsorted needs a monotone cumsum
+        if stage == "compact":
+            return _join_stage_result(
+                cnt_c[::1024].sum() + eout[1, ::1024].sum(), Q * A * 2)
         cg, auxs, bases = expand_emit(
             cnt_c, eout[1, :NE], eout[2, :NE], eout[3, :NE],
             pair_budget=pair_budget)
         alive2 = p2 < total2
+        if stage == "expand":
+            return _join_stage_result(
+                cg[::1024].sum() + auxs[::1024].sum() + bases[::1024].sum(),
+                Q * A * 2)
         # if emitters overflow the (budget-128) compact prefix, inflate
         # the reported total so the caller's overflow redispatch regrows
         # the budget (possible only when total2 is within 128 of pb)
