@@ -42,7 +42,10 @@ def pad_pow2(n: int, lo: int = 1 << 12) -> int:
     lo >= 4096 (and 128-alignment for lo >= 512)."""
     n = max(n, lo)
     p = 1 << (n - 1).bit_length()       # pow2 ceiling
-    step = p // 4
+    # quarter tiers of the pow2 FLOOR (= p/8): 1, 1.25, 1.5, 1.75 x pow2.
+    # p//4 here overshot by up to 1.5x (it only produced 1.0/1.5x tiers).
+    # Floor of 128 keeps every tier 128-aligned for the matcher kernels.
+    step = max(p // 8, 128)
     return (n + step - 1) // step * step
 
 

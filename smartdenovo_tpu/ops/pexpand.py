@@ -44,11 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 INTERPRET = False   # set True to run the kernel interpreted (CPU tests)
 
-_B15 = 1 << 15
-
-
-def _split15(v):
-    return v & (_B15 - 1), jax.lax.shift_right_arithmetic(v, 15)
+def _split8(v):
+    """Four 8-bit limbs (low three unsigned, top arithmetic) — exact in a
+    single bf16 MXU pass (vs the 6-pass f32 emulation 15-bit limbs need)."""
+    return (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+            jax.lax.shift_right_arithmetic(v, 24))
 
 
 def _make_kernel(T, T2, nt):
@@ -59,25 +59,23 @@ def _make_kernel(T, T2, nt):
             in_hbm.at[:, pl.ds(start, T2)], win, sem)
         d.start()
         d.wait()
-        w = win[:, :]                        # [8, T2] int32
-        cnt = w[0:1].astype(jnp.float32)     # [1, T2]
-        ost = w[1:2].astype(jnp.float32)     # [1, T2] global run starts
-        jj = (t * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-              ).astype(jnp.float32)          # [T, 1] global out slot
-        sel = ((ost <= jj) & (jj < ost + cnt)).astype(jnp.float32)  # [T, T2]
-        E = jax.lax.dot_general(             # [8, T2] x [T, T2] -> [8, T]
-            w.astype(jnp.float32), sel,
+        w = win[:, :]                        # [16, T2] int32
+        cnt = w[0:1]                         # [1, T2] int32
+        ost = w[1:2]                         # [1, T2] int32 global run starts
+        # int32 comparisons: budgets past 2^24 would lose exactness in f32
+        jj = t * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        sel = ((ost <= jj) & (jj < ost + cnt)).astype(jnp.bfloat16)  # [T, T2]
+        E = jax.lax.dot_general(             # [12, T2] x [T, T2] -> [12, T]
+            w[2:14].astype(jnp.bfloat16), sel,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            # HIGHEST = f32-emulation passes on the MXU — single-pass
-            # bf16 truncates the 15-bit payload halves (measured)
-            precision=jax.lax.Precision.HIGHEST,
+            # one-hot selection x 8-bit limbs: exact in one bf16 pass
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        # rows 2..7 hold (lo, hi) pairs: recombine into 3 payload rows,
-        # leave the rest as padding
+        # rows hold 4 limbs per payload: recombine into 3 payload rows
+        def comb(o):
+            return ((E[o + 3: o + 4] * 256 + E[o + 2: o + 3]) * 256
+                    + E[o + 1: o + 2]) * 256 + E[o: o + 1]
         out = jnp.concatenate([
-            E[3:4] * _B15 + E[2:3],
-            E[5:6] * _B15 + E[4:5],
-            E[7:8] * _B15 + E[6:7],
+            comb(0), comb(4), comb(8),
             jnp.zeros((5, T), jnp.int32),
         ], axis=0)
         out_ref[:, :] = out
@@ -114,11 +112,10 @@ def expand_emit(cnt2c: jnp.ndarray,   # [NE] int32 dense emitter counts
     esrc = jnp.searchsorted(cum, tstarts, side="right").astype(jnp.int32)
     esrc = jnp.clip((esrc // 128) * 128, 0, NE - T2)
 
-    p_lo, p_hi = _split15(payc)
-    a_lo, a_hi = _split15(auxc)
-    b_lo, b_hi = _split15(qbasec)
-    in8 = jnp.stack([cnt2c, ost2c, p_lo, p_hi, a_lo, a_hi, b_lo, b_hi],
-                    axis=0)                   # [8, NE] int32
+    in8 = jnp.stack([cnt2c, ost2c,
+                     *_split8(payc), *_split8(auxc), *_split8(qbasec),
+                     jnp.zeros_like(cnt2c), jnp.zeros_like(cnt2c)],
+                    axis=0)                   # [16, NE] int32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -127,7 +124,7 @@ def expand_emit(cnt2c: jnp.ndarray,   # [NE] int32 dense emitter counts
         out_specs=pl.BlockSpec((8, T), lambda t, e: (0, t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, T2), jnp.int32),
+            pltpu.VMEM((16, T2), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -81,8 +81,15 @@ def _neutral_col(ops):
     return out
 
 
-def _split15(x):
-    return x & 0x7FFF, jax.lax.shift_right_arithmetic(x, 15)
+def _split8(x):
+    """Four 8-bit limbs (low three unsigned, top arithmetic).
+
+    8-bit limbs are exact in bf16 (8 effective mantissa bits), so the
+    one-hot extraction matmul runs as ONE bf16 MXU pass instead of the
+    6-pass f32 emulation that 15-bit limbs force (measured ~3x on the
+    extraction-dominated stream kernels)."""
+    return (x & 0xFF, (x >> 8) & 0xFF, (x >> 16) & 0xFF,
+            jax.lax.shift_right_arithmetic(x, 24))
 
 
 def _make_kernel(ops, T, OB, nt):
@@ -144,17 +151,18 @@ def _make_kernel(ops, T, OB, nt):
         # closed segment k's local part = inclusive scan at (start-1)
         Xr = jnp.where(col >= 1, pltpu.roll(x, 1, 1), neutral)
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (T2, T), 0)
-        sel = ((sn == 1) & (k_of_j == iota_k)).astype(jnp.float32)
-        xlo, xhi = _split15(Xr)
+        sel = ((sn == 1) & (k_of_j == iota_k)).astype(jnp.bfloat16)
+        b0, b1, b2, b3 = _split8(Xr)
         pack = jnp.concatenate(
-            [xlo.astype(jnp.float32), xhi.astype(jnp.float32)], axis=0)
-        E2 = jax.lax.dot_general(            # [16, T(j)] x [T2(k), T(j)]
+            [b.astype(jnp.bfloat16) for b in (b0, b1, b2, b3)], axis=0)
+        E2 = jax.lax.dot_general(            # [32, T(j)] x [T2(k), T(j)]
             pack, sel, dimension_numbers=(((1,), (1,)), ((), ())),
-            # HIGHEST = f32-emulation passes on the MXU — single-pass
-            # bf16 truncates the 15-bit payload halves (measured)
-            precision=jax.lax.Precision.HIGHEST,
+            # one-hot selection x 8-bit limbs: every product and sum is
+            # exact in a single bf16 pass with f32 accumulation
             preferred_element_type=jnp.float32)
-        E = E2[8:].astype(jnp.int32) * 32768 + E2[:8].astype(jnp.int32)
+        E = (((E2[24:].astype(jnp.int32) * 256 + E2[16:24].astype(jnp.int32))
+              * 256 + E2[8:16].astype(jnp.int32))
+             * 256 + E2[:8].astype(jnp.int32))
         # record 0 (staging column `off`) closes the carried-open segment
         carry = carry_ref[:, 0:1]
         loc0 = jnp.sum(jnp.where(col2 == off, E, 0), axis=1, keepdims=True)

@@ -538,10 +538,12 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     # query zmer mass per batch (vtab build / sweep occurrence axis) and
     # compressed-length mass (join's query-row probe axis); "auto" may use
     # either matcher, so the budget covers both (it is a width, not work)
+    # lo = 8192 keeps qkb a 1024-multiple (the sseg kernel streams at
+    # qkb + mb width and asserts tile alignment)
     qkb_z = pad_pow2(max((int(zcnt[rids_all[bi]].sum()) for bi in range(Btier)),
-                         default=1) + Q, lo=1 << 12)
+                         default=1) + Q, lo=1 << 13)
     qkb_c = pad_pow2(max((int(comp_len[b].sum()) for b in batches),
-                         default=1) + Q, lo=1 << 12)
+                         default=1) + Q, lo=1 << 13)
     if p.matcher in ("vtab", "sweep"):
         qkb = qkb_z
     elif p.matcher == "join":
