@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--fasta", default=os.path.join(ROOT, "work", "bench_reads.fa"))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--only", default="",
+                    help="substring filter: time only matching sections")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +104,8 @@ def main():
     results = {}
 
     def timeit(name, fn, *xs):
+        if args.only and args.only not in name:
+            return
         # warmup (compile)
         out = fn(0, *xs)
         sync(out if not isinstance(out, tuple) else out[0])
@@ -116,6 +120,31 @@ def main():
         print(f"  {name:45s} {best * 1e3:9.1f} ms  (all: "
               + " ".join(f"{t*1e3:.0f}" for t in ts) + ")", flush=True)
 
+    # ---- index build + phase 1 (candidate scan), timed in isolation ----
+    def idx_vary(r, fd):
+        k16v = flat_seeds(fd, offs_d, p.ksize, p.hz)
+        z10v = flat_seeds(fd, offs_d, p.zsize, p.hz)
+        dv = build_indexes_device(
+            k16v, z10v, lens_d, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
+            max_zmer_freq=p.max_zmer_freq, zbits=2 * p.zsize)
+        return dv.stats
+
+    timeit("index build (flat_seeds x2 + sort/filter)",
+           lambda r, fd: idx_vary(r, jnp.where(
+               jnp.arange(fd.shape[0], dtype=jnp.int32) == (r % 97),
+               jnp.uint8(0), fd)), flat_d)
+
+    def p1_vary(r, rids_v, qlens_v, qskip_v):
+        cb1, _o, sb1 = Z._cand_scan_device(
+            rids_v[None], qlens_v[None], qskip_v[None], k16, didx,
+            read_lens_d, **cand_static)
+        return sb1
+
+    timeit("phase1 candidate scan (1 batch)",
+           lambda r, *xs: p1_vary(r, jnp.roll(jnp.asarray(rids), r),
+                                  jnp.roll(jnp.asarray(qlens), r),
+                                  jnp.asarray(qskip)), 0)
+
     jkw = dict(expand_budget=mb, pair_budget=pb, kvar=p.kvar,
                zbits=2 * p.zsize, max_per_read=p.max_zmer_freq,
                qprobe_budget=qkb)
@@ -125,7 +154,7 @@ def main():
     def run_join(r, zk, zdir, zoff, zspan, zvalid, csorted):
         pairs = extract_zmer_pairs_join(
             zk, zdir, zoff + r - r, zspan, zvalid, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens_d,
             **jkw)
         return pairs.pair_id
 
@@ -141,7 +170,7 @@ def main():
     def run_join_pl(r, zk, zdir, zoff, zspan, zvalid, csorted):
         pairs = extract_zmer_pairs_join(
             zk, zdir, zoff + r - r, zspan, zvalid, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens_d,
             phase3="pallas", **jkw)
         return pairs.pair_id
 
@@ -155,7 +184,7 @@ def main():
         def run_join_st(r, _st=st):
             pairs = extract_zmer_pairs_join(
                 zk, zdir, zoff + r - r, zspan, zvalid, csorted,
-                didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start,
+                didx.rm_zsd, didx.rm_pk, didx.rm_start,
                 read_lens_d, phase3="pallas", stage=_st, **jkw)
             return pairs.pair_id
 
@@ -178,8 +207,7 @@ def main():
         rows = jnp.where(balive, cstart[bsrc] // RM_BLK + bwithin, 0)
         zsd = didx.rm_zsd.reshape(-1, RM_BLK)[rows].reshape(-1)
         cpk = didx.rm_pk.reshape(-1, RM_BLK)[rows].reshape(-1)
-        cfo = didx.rm_fo.reshape(-1, RM_BLK)[rows].reshape(-1)
-        return zsd + cpk + cfo + r
+        return zsd + cpk + r
 
     timeit("join p1 (expand + 3 row-gathers)", lambda r, cs: join_p1(jnp.int32(r), cs), csorted)
 
@@ -196,13 +224,12 @@ def main():
         rows = jnp.where(balive, cstart[bsrc] // RM_BLK + bwithin, 0)
         zsd = didx.rm_zsd.reshape(-1, RM_BLK)[rows].reshape(-1)
         cpk = didx.rm_pk.reshape(-1, RM_BLK)[rows].reshape(-1)
-        cfo = didx.rm_fo.reshape(-1, RM_BLK)[rows].reshape(-1)
         src1c = jnp.broadcast_to(bsrc[:, None], (NB1, RM_BLK)).reshape(-1)
         key = (zsd ^ r).astype(jnp.int32)
-        k, a, b2, c2 = jax.lax.sort((key, cpk, cfo, src1c), num_keys=1)
+        k, a, c2 = jax.lax.sort((key, cpk, src1c), num_keys=1)
         return k[::1024].sum() + a[::1024].sum()
 
-    timeit("join p1+sort (4 arrays @ mb)", lambda r, cs: join_p12(jnp.int32(r), cs), csorted)
+    timeit("join p1+sort (3 arrays @ mb)", lambda r, cs: join_p12(jnp.int32(r), cs), csorted)
 
     # ---- dot-matrix align alone on real pairs ----
     pairs0 = run_join(jnp.int32(0), zk, zdir, zoff, zspan, zvalid, csorted)
@@ -211,7 +238,7 @@ def main():
     def mk_pairs(r):
         return extract_zmer_pairs_join(
             zk, zdir, zoff + r - r, zspan, zvalid, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens_d,
             **jkw)
 
     PB = mk_pairs(jnp.int32(0))
@@ -231,7 +258,7 @@ def main():
     @jax.jit
     def run_dm(r, PBb):
         res = dot_matrix_align(
-            PBb._replace(off1=PBb.off1 + r - r), qlen_of_pair, clen_of_pair,
+            PBb._replace(o1l1=PBb.o1l1 + r - r), qlen_of_pair, clen_of_pair,
             **dmkw)
         return res.score
 
@@ -240,7 +267,7 @@ def main():
     @jax.jit
     def run_dm_sk(r, PBb):
         res = dot_matrix_align(
-            PBb._replace(off1=PBb.off1 + r - r), qlen_of_pair, clen_of_pair,
+            PBb._replace(o1l1=PBb.o1l1 + r - r), qlen_of_pair, clen_of_pair,
             segk="pallas", **dmkw)
         return res.score
 
@@ -248,38 +275,23 @@ def main():
            lambda r, Pb: run_dm_sk(jnp.int32(r), Pb), PB)
 
     # ---- dm cumulative stage sweep (each stop point, separately jitted) ----
-    for st in ("sort1", "match_cnt", "blocks", "merge", "windows", "dense"):
+    for st in ("sort1", "blocks", "merge", "windows", "dense"):
         @functools.partial(jax.jit, static_argnames=())
         def run_dm_st(r, PBb, _st=st):
             res = dot_matrix_align(
-                PBb._replace(off1=PBb.off1 + r - r), qlen_of_pair,
+                PBb._replace(o1l1=PBb.o1l1 + r - r), qlen_of_pair,
                 clen_of_pair, stage=_st, **dmkw)
             return res.score
 
         timeit(f"dm stage<={st}",
                lambda r, Pb, f=run_dm_st: f(jnp.int32(r), Pb), PB)
 
-    # ---- dm truncated: first sort + match counts ----
-    @jax.jit
-    def dm_sort1(r, PBb):
-        BIGP = Q * Adm * 2
-        diag = PBb.off1 - PBb.off2 + r - r
-        dead = PBb.pair_id >= BIGP
-        k1 = jnp.where(dead, jnp.int32(BIGP), PBb.pair_id)
-        k2 = jnp.where(dead, jnp.int32(0x7FFFFFFF), diag)
-        k3 = jnp.where(dead, jnp.int32(0x7FFFFFFF), PBb.off1)
-        k1, k2, k3, o2, l1, l2 = jax.lax.sort(
-            (k1, k2, k3, PBb.off2, PBb.len1, PBb.len2), num_keys=3)
-        return k1[::1024].sum() + o2[::1024].sum()
-
-    timeit("dm sort1 (6 arrays 3 keys @ pb)", lambda r, Pb: dm_sort1(jnp.int32(r), Pb), PB)
-
     # ---- full phase-2 chain (join + dm) as the pipeline runs it ----
     @jax.jit
     def full_p2(r):
         pairs = extract_zmer_pairs_join(
             zk, zdir, zoff + r - r, zspan, zvalid, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens_d,
             **jkw)
         res = dot_matrix_align(pairs, qlen_of_pair, clen_of_pair, **dmkw)
         return res.score
@@ -290,7 +302,7 @@ def main():
     def full_p2_pl(r):
         pairs = extract_zmer_pairs_join(
             zk, zdir, zoff + r - r, zspan, zvalid, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens_d,
             phase3="pallas", **jkw)
         res = dot_matrix_align(pairs, qlen_of_pair, clen_of_pair, **dmkw)
         return res.score
@@ -302,7 +314,7 @@ def main():
     def full_p2_pl2(r):
         pairs = extract_zmer_pairs_join(
             zk, zdir, zoff + r - r, zspan, zvalid, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens_d,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens_d,
             phase3="pallas", **jkw)
         res = dot_matrix_align(pairs, qlen_of_pair, clen_of_pair,
                                segk="pallas", **dmkw)

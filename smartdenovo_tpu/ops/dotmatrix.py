@@ -41,10 +41,8 @@ NEG_BIG = jnp.int32(-1000000)
 
 class PairBatch(NamedTuple):
     pair_id: jnp.ndarray  # [PB] int32 = ((q*A + slot)*2 + dir), BIGP if dead
-    off1: jnp.ndarray     # [PB] int32 query raw offset
-    off2: jnp.ndarray     # [PB] int32 candidate raw offset (strand-flipped)
-    len1: jnp.ndarray     # [PB] int32
-    len2: jnp.ndarray     # [PB] int32
+    o1l1: jnp.ndarray     # [PB] int32 query raw offset<<8 | span (<=255)
+    o2l2: jnp.ndarray     # [PB] int32 candidate offset<<8 | span (flipped)
     match_cnt: jnp.ndarray  # [Q*A*2] int32 seed matches per pair (pre-budget)
     total: jnp.ndarray    # scalar: pairs before pair-budget truncation
     expand_total: jnp.ndarray  # scalar: posting expansion size before budget
@@ -198,10 +196,8 @@ def extract_zmer_pairs(
     pair_id = jnp.where(len_ok, ((src2 // L) * A + slot) * 2 + pairdir, BIGP)
     return PairBatch(
         pair_id=pair_id,
-        off1=qg >> 9,
-        off2=o2,
-        len1=q_span,
-        len2=p_span,
+        o1l1=qg >> 1,
+        o2l2=(o2 << 8) | p_span,
         match_cnt=jnp.zeros(Q * A * 2, jnp.int32),  # filled by dot_matrix_align
         total=total,
         expand_total=total_exp,
@@ -211,8 +207,8 @@ def extract_zmer_pairs(
 def _join_stage_result(probe, n_pairs):
     """Truncated-stage dummy PairBatch (profiling only)."""
     z = jnp.zeros(1, jnp.int32)
-    return PairBatch(pair_id=probe.astype(jnp.int32).reshape(1), off1=z,
-                     off2=z, len1=z, len2=z,
+    return PairBatch(pair_id=probe.astype(jnp.int32).reshape(1), o1l1=z,
+                     o2l2=z,
                      match_cnt=jnp.zeros(n_pairs, jnp.int32),
                      total=jnp.int32(0), expand_total=jnp.int32(0))
 
@@ -231,7 +227,6 @@ def extract_zmer_pairs_join(
     cands_sorted: jnp.ndarray,  # [Q, A] int32 candidate read ids (pad INT32_MAX)
     rm_zsd: jnp.ndarray,  # [P] int32 zmer<<9|span<<1|dir, read-major ALIGNED
     rm_pk: jnp.ndarray,   # [P] int32 off<<9|span<<1|dir, same layout
-    rm_fo: jnp.ndarray,   # [P] int32 (rdlen-off-span)<<9|span<<1|dir
     rm_start: jnp.ndarray,  # [R+1] int32 RM_BLK-aligned CSR per read
     read_lens: jnp.ndarray,  # [R] int32
     *,
@@ -297,7 +292,6 @@ def extract_zmer_pairs_join(
     rows = jnp.where(balive, cstart[bsrc] // RM_BLK + bwithin, 0)  # [NB1]
     zsd = rm_zsd.reshape(-1, RM_BLK)[rows].reshape(-1)   # row-gather [MB]
     cpk = rm_pk.reshape(-1, RM_BLK)[rows].reshape(-1)    # row-gather [MB]
-    del rm_fo  # flipped offsets now recomputed from read_lens in phase 3
     src1c = jnp.broadcast_to(
         bsrc[:, None], (NB1, RM_BLK)).reshape(-1)
     total1 = btot * RM_BLK
@@ -347,76 +341,66 @@ def extract_zmer_pairs_join(
     if stage == "sort":
         return _join_stage_result(key[::1024].sum() + pay[::1024].sum(),
                                   Q * A * 2)
-    svalid = key != SENT
-    tag1 = svalid & ((key & 1) == 1)
-    tag0 = svalid & ((key & 1) == 0)
-    grp = key >> 1
-    run_new = jnp.concatenate([jnp.ones(1, bool), grp[1:] != grp[:-1]])
-    pre0 = jnp.cumsum(tag0.astype(jnp.int32)) - tag0.astype(jnp.int32)
-    pre0_rs = jax.lax.cummax(jnp.where(run_new, pre0, -1))  # pre0 is monotone
-    qcnt = pre0 - pre0_rs
-    cnt2 = jnp.where(tag1 & (qcnt > 0) & (qcnt < max_per_read), qcnt, 0)
+    p2 = jnp.arange(pair_budget, dtype=jnp.int32)
 
     # ---- phase 3: emit n x m co-occurrences --------------------------
     # Each emitter (candidate entry with 1 <= qcnt < max_per_read) owns a
-    # CONTIGUOUS run of qcnt output slots, so the per-slot source values
-    # are recovered with sorted scatters at the run starts + a forward
-    # fill bounded by max_per_read (4 doubling shifts) — replacing 4
-    # random budget-wide gathers into the 35M-entry sorted arrays with
-    # streaming passes (random HBM gathers are the dominant cost on TPU:
-    # measured 2.1 s -> ~1.0 s for this phase on the v5e bench batch).
-    cum2 = jnp.cumsum(cnt2)
-    total2 = cum2[-1]
-    ost2 = cum2 - cnt2
-    p2 = jnp.arange(pair_budget, dtype=jnp.int32)
-    base_val = pre0_rs - ost2   # query occurrence j of a run lives at
-                                # compact query index base_val + out slot
-    if stage == "scans":
-        return _join_stage_result(
-            cnt2[::1024].sum() + base_val[::1024].sum() + total2, Q * A * 2)
+    # CONTIGUOUS run of qcnt output slots.
     if phase3 == "pallas":
-        # compact the emitters to a dense prefix with the streaming
-        # segment kernel in first-lane mode (each selected entry opens a
-        # segment, so record k = the k-th emitter's lanes, in stream
-        # order; replaces a 5-lane budget-wide sort), then stream the
-        # n x m replication — no budget-wide scatters at all
+        # ONE streaming pass (ops/jpost.py) computes the run bookkeeping
+        # (qcnt / run starts / output bases) in-kernel and extracts the
+        # dense emitter records directly — replacing 4 budget-wide XLA
+        # scan families, a separate compaction pass, and the query-table
+        # scatter of the round-3 design; then ops/pexpand.py streams the
+        # n x m replication.  No budget-wide scatters at all.
+        from .jpost import join_emitters
         from .pexpand import expand_emit
-        from .sseg import seg_reduce_compact
 
-        n2t = cnt2.shape[0]
-        sel = (cnt2 > 0).astype(jnp.int32)
-        zz = jnp.zeros_like(cnt2)
-        eout, ecnt = seg_reduce_compact(
-            sel, jnp.stack([cnt2, pay, aux, base_val, zz, zz, zz, zz]),
-            ops=("first",) * 8, out_budget=pair_budget)
-        # a leading garbage record appears unless the stream starts with
-        # an emitter (record 0 then covers the unselected prefix)
-        drop = 1 - sel[0]
-        eout = jax.lax.dynamic_slice_in_dim(eout, drop, pair_budget - 1,
-                                            axis=1)
-        nem = ecnt - drop
-        # every emitter fills >= 1 slot, so emitters whose run starts
-        # inside the budget number <= pair_budget
-        NE = min(pair_budget - 128, n2t)
-        ecol = jnp.arange(NE, dtype=jnp.int32)
-        cnt_c = jnp.where(ecol < nem, eout[0, :NE], 0)  # zero tail: the
+        # emitters = candidate entries with >=1 match; ratio to matches is
+        # ~0.25-0.4 at deep coverage but approaches 1 when qcnt ~= 1
+        # (shallow small genomes) — 5/8 covers both with the redispatch
+        # escape below as the net (budget stays a multiple of 128)
+        EB = max(pair_budget * 5 // 8, 1 << 14)
+        eout, nem, total2 = join_emitters(
+            key, pay, aux, max_per_read=max_per_read, out_budget=EB)
+        ecol = jnp.arange(EB, dtype=jnp.int32)
+        cnt_c = jnp.where(ecol < nem, eout[0], 0)  # zero tail: the
         # expand kernel's searchsorted needs a monotone cumsum
-        if stage == "compact":
+        if stage in ("scans", "compact"):
             return _join_stage_result(
-                cnt_c[::1024].sum() + eout[1, ::1024].sum(), Q * A * 2)
+                cnt_c[::1024].sum() + eout[1, ::1024].sum() + total2,
+                Q * A * 2)
         cg, auxs, bases = expand_emit(
-            cnt_c, eout[1, :NE], eout[2, :NE], eout[3, :NE],
-            pair_budget=pair_budget)
+            cnt_c, eout[1], eout[2], eout[3], pair_budget=pair_budget)
         alive2 = p2 < total2
         if stage == "expand":
             return _join_stage_result(
                 cg[::1024].sum() + auxs[::1024].sum() + bases[::1024].sum(),
                 Q * A * 2)
-        # if emitters overflow the (budget-128) compact prefix, inflate
-        # the reported total so the caller's overflow redispatch regrows
-        # the budget (possible only when total2 is within 128 of pb)
-        total2 = jnp.where(nem > NE, jnp.int32(pair_budget + 1), total2)
+        # if emitters overflow the compact budget (minus the kernel's
+        # overlap-write slack), inflate the reported total so the
+        # caller's overflow redispatch regrows pair_budget (and EB)
+        total2 = jnp.where(nem > EB - 1152, jnp.int32(pair_budget + 1),
+                           total2)
     else:
+        svalid = key != SENT
+        tag1 = svalid & ((key & 1) == 1)
+        tag0 = svalid & ((key & 1) == 0)
+        grp = key >> 1
+        run_new = jnp.concatenate([jnp.ones(1, bool), grp[1:] != grp[:-1]])
+        pre0 = jnp.cumsum(tag0.astype(jnp.int32)) - tag0.astype(jnp.int32)
+        pre0_rs = jax.lax.cummax(jnp.where(run_new, pre0, -1))  # monotone
+        qcnt = pre0 - pre0_rs
+        cnt2 = jnp.where(tag1 & (qcnt > 0) & (qcnt < max_per_read), qcnt, 0)
+        cum2 = jnp.cumsum(cnt2)
+        total2 = cum2[-1]
+        ost2 = cum2 - cnt2
+        base_val = pre0_rs - ost2   # query occurrence j of a run lives at
+                                    # compact query index base_val + slot
+        if stage in ("scans", "compact"):
+            return _join_stage_result(
+                cnt2[::1024].sum() + base_val[::1024].sum() + total2,
+                Q * A * 2)
         start_idx = jnp.where(cnt2 > 0, jnp.minimum(ost2, pair_budget),
                               pair_budget)
 
@@ -441,18 +425,16 @@ def extract_zmer_pairs_join(
             filled = filled | sr(filled)
         alive2 = (p2 < total2) & filled
         cg = cgs
-    # compact query-payload table (pre0 is the dense index of each query
-    # entry): ONE remaining gather, into this small table
-    qdst = jnp.where(tag0, jnp.minimum(pre0, NQ), NQ)
-    qpayc = (jnp.zeros(NQ + 1, jnp.int32)
-             .at[qdst].set(pay, mode="drop")[:NQ])
+    # compact query-payload table: the big stream's tag0 entries in
+    # (q, zmer) order == the query entries alone, stably sorted by qkey —
+    # a SMALL sort replaces the round-3 budget-wide stream scatter
+    _, qpayc = jax.lax.sort((qkey, qpk), num_keys=1)
     qg = qpayc[jnp.clip(bases + p2, 0, NQ - 1)]
     qslot2 = jnp.clip(auxs, 0, n1 - 1)
     # candidate read length via two small-table gathers (drops the rm_fo
     # lane from the sort entirely)
     cand2 = jnp.clip(c.reshape(-1)[qslot2], 0, R - 1)
     clen2 = read_lens[cand2].astype(jnp.int32)
-    q_off = qg >> 9
     q_span = (qg >> 1) & 0xFF
     p_off = cg >> 9
     p_span = (cg >> 1) & 0xFF
@@ -462,10 +444,8 @@ def extract_zmer_pairs_join(
     pair_id = jnp.where(len_ok, qslot2 * 2 + pairdir, BIGP)
     return PairBatch(
         pair_id=pair_id,
-        off1=q_off,
-        off2=o2,
-        len1=q_span,
-        len2=p_span,
+        o1l1=qg >> 1,
+        o2l2=(o2 << 8) | p_span,
         match_cnt=jnp.zeros(Q * A * 2, jnp.int32),  # filled by dot_matrix_align
         total=total2,
         expand_total=total1,
@@ -580,7 +560,6 @@ def extract_zmer_pairs_vtab(
     qg = rm_pk[qidx2]                                        # gather 6 [PB]
     cg = rm_pk[pidx2]                                        # gather 7 [PB]
     cln = clen_flat[qslot2]                                  # gather 8 [PB]
-    q_off = qg >> 9
     q_span = (qg >> 1) & 0xFF
     p_off = cg >> 9
     p_span = (cg >> 1) & 0xFF
@@ -590,10 +569,8 @@ def extract_zmer_pairs_vtab(
     pair_id = jnp.where(len_ok, qslot2 * 2 + pairdir, BIGP)
     return PairBatch(
         pair_id=pair_id,
-        off1=q_off,
-        off2=o2,
-        len1=q_span,
-        len2=p_span,
+        o1l1=qg >> 1,
+        o2l2=(o2 << 8) | p_span,
         match_cnt=jnp.zeros(Q * A * 2, jnp.int32),  # filled by dot_matrix_align
         total=total2,
         expand_total=total1,
@@ -784,8 +761,7 @@ def _sweep_emit(qrids, cands_sorted, slot_table, rm_zsd, rm_pk, rm_rd,
     pair_id = jnp.where(ok, (q_ec * A + slot) * 2 + pairdir, BIGP)
     if pair_budget is None or pair_budget >= cross_budget:
         return PairBatch(
-            pair_id=pair_id, off1=qpk >> 9, off2=o2,
-            len1=q_span, len2=p_span,
+            pair_id=pair_id, o1l1=qpk >> 1, o2l2=(o2 << 8) | p_span,
             match_cnt=jnp.zeros(Q * A * 2, jnp.int32),
             total=total, expand_total=total,
         )
@@ -801,10 +777,8 @@ def _sweep_emit(qrids, cands_sorted, slot_table, rm_zsd, rm_pk, rm_rd,
 
     return PairBatch(
         pair_id=comp(pair_id, Q * A * 2),
-        off1=comp(qpk >> 9, 0),
-        off2=comp(o2, 0),
-        len1=comp(q_span, 0),
-        len2=comp(p_span, 0),
+        o1l1=comp(qpk >> 1, 0),
+        o2l2=comp((o2 << 8) | p_span, 0),
         match_cnt=jnp.zeros(Q * A * 2, jnp.int32),
         total=n_match,
         # the sweep's expansion axis is the cross product; reporting it
@@ -858,7 +832,7 @@ def _stage_result(score_like):
 @functools.partial(
     jax.jit,
     static_argnames=("n_pairs", "nb", "xvar", "yvar", "min_block_len", "max_overhang",
-                     "nbk", "pd", "stage", "segk"),
+                     "nbk", "pd", "stage", "segk", "max_len"),
 )
 def dot_matrix_align(
     pairs: PairBatch,
@@ -881,66 +855,60 @@ def dot_matrix_align(
                              # (live pairs are ~2 x live candidates, a few
                              # percent of Q*A*2; caller redispatches if
                              # row_total overflows)
-    stage: str = "full",     # profiling stop point: sort1 | match_cnt |
+    stage: str = "full",     # profiling stop point: sort1 |
                              # blocks | merge | windows | dense | full
     segk: str = "fill",      # segment-reduce strategy: "fill" = XLA
                              # segment scatters; "pallas" = the streaming
                              # ops/sseg.py kernel (TPU)
+    max_len: int = 1 << 17,  # static read-length bound (sets the packed
+                             # sort key's diagonal-bucket range)
 ) -> DotMatrixResult:
+    """Diagonal grouping redesign (round 4): ONE packed 3-lane sort
+    replaces the round-3 two 6-lane sorts.  Matches sort by
+    (pair, diag // yvar, off1) — fixed yvar-wide diagonal buckets instead
+    of adaptive diagonal runs (the reference uses overlapping yvar windows
+    + union-find, hzm_aln.h:721-889; both groupings are yvar-scale).  A
+    true anchor region straddling a bucket boundary splits into two
+    blocks, so the min_block_len filter moves AFTER the fast-merge phase
+    (2*yvar single-linkage), which rejoins exactly those splits."""
     PB = pairs.pair_id.shape[0]
     if nbk is None:
         nbk = PB
     BIGP = qlens_of_pair.shape[0]  # == Q*A*2
-    diag = pairs.off1 - pairs.off2
+    diag = (pairs.o1l1 >> 8) - (pairs.o2l2 >> 8)
     dead = pairs.pair_id >= BIGP
-    k1 = jnp.where(dead, jnp.int32(BIGP), pairs.pair_id)
-    k2 = jnp.where(dead, INT32_MAX, diag)
-    k3 = jnp.where(dead, INT32_MAX, pairs.off1)
-    k1, k2, k3, o2, l1, l2 = jax.lax.sort(
-        (k1, k2, k3, pairs.off2, pairs.len1, pairs.len2), num_keys=3
-    )
+    # NDQ = pow2 diagonal-bucket range so pid unpacks as a shift
+    ndq_need = 2 * (max_len // max(yvar, 1)) + 4
+    NDQ = 1 << (ndq_need - 1).bit_length()
+    HALF = NDQ // 2
+    dq = jnp.clip(diag // yvar + HALF, 0, NDQ - 1)
+    o1l1 = pairs.o1l1
+    o2l2 = pairs.o2l2
+    assert (n_pairs + 1) * NDQ < (1 << 31) - 1, (
+        "pair/diag key packing overflow: lower batch_q*ncand or max_len")
+    kq = jnp.where(dead, INT32_MAX, pairs.pair_id * NDQ + dq)
+    kq, ko, o2l2s = jax.lax.sort(
+        (kq, jnp.where(dead, INT32_MAX, o1l1), o2l2), num_keys=2)
     if stage == "sort1":
-        return _stage_result(k1[::1024].sum() + o2[::1024].sum())
-    live = k1 < BIGP
-    pair_new = jnp.concatenate([jnp.ones(1, bool), k1[1:] != k1[:-1]])
-    if segk == "fill":
-        # per-pair seed-match counts: two boundary scatter-sets of the
-        # live cumsum (start and end per run) — no budget-wide gather
-        ones_c = jnp.cumsum(live.astype(jnp.int32))
-        seg_last = jnp.concatenate([pair_new[1:], jnp.ones(1, bool)])
-        endC = (
-            jnp.zeros(int(BIGP) + 1, jnp.int32)
-            .at[jnp.where(seg_last & live, k1, BIGP)]
-            .set(ones_c, mode="drop")[: int(BIGP)]
-        )
-        startC = (
-            jnp.zeros(int(BIGP) + 1, jnp.int32)
-            .at[jnp.where(pair_new & live, k1, BIGP)]
-            .set(ones_c - live.astype(jnp.int32), mode="drop")[: int(BIGP)]
-        )
-        match_cnt = endC - startC
-        if stage == "match_cnt":   # fill-only profiling stop point
-            return _stage_result(match_cnt[::64].sum())
-    grp_new = pair_new | jnp.concatenate([jnp.ones(1, bool), (k2[1:] - k2[:-1]) > yvar])
-    grp_id = jnp.cumsum(grp_new.astype(jnp.int32)) - 1
-    # re-sort within diagonal groups by off1
-    g1 = jnp.where(live, grp_id, INT32_MAX)
-    g1, o1, o2, l1, l2, pid = jax.lax.sort((g1, k3, o2, l1, l2, k1), num_keys=2)
-    live = g1 < INT32_MAX
+        return _stage_result(kq[::1024].sum() + o2l2s[::1024].sum())
+    live = kq != INT32_MAX
+    pid = jnp.where(live, kq >> int(NDQ - 1).bit_length(), jnp.int32(BIGP))
+    o1 = jnp.where(live, ko >> 8, 0)
+    l1 = jnp.where(live, ko & 255, 0)
+    o2 = o2l2s >> 8
+    l2 = o2l2s & 255
+    grp_change = jnp.concatenate([jnp.ones(1, bool), kq[1:] != kq[:-1]])
     prev_end1 = jnp.concatenate([jnp.zeros(1, jnp.int32), (o1 + l1)[:-1]])
     # only live elements open blocks — dead (padded) elements must not
     # inflate the block count past the compact budget
-    blk_new = live & (
-        jnp.concatenate([jnp.ones(1, bool), g1[1:] != g1[:-1]])
-        | (o1 > prev_end1 + xvar)
-    )
+    blk_new = live & (grp_change | (o1 > prev_end1 + xvar))
     contrib = jnp.where(blk_new, l1, (o1 + l1) - prev_end1)
     contrib = jnp.where(live, contrib, 0)
     nseg = nbk
     if segk == "pallas":
-        # ONE streaming pass (ops/sseg.py) replaces the 6 segment
-        # scatters AND the match_cnt boundary scatters: records arrive
-        # compacted in block order, garbage past the count masked here
+        # ONE streaming pass (ops/sseg.py) replaces the 7 segment
+        # scatters: records arrive compacted in block order, garbage past
+        # the count masked here
         from .sseg import seg_reduce_compact
 
         zeros = jnp.zeros_like(o1)
@@ -950,10 +918,14 @@ def dot_matrix_align(
             jnp.where(live, o2, INT32_MAX),
             jnp.where(live, o1 + l1, 0),
             jnp.where(live, o2 + l2, 0),
-            pid, zeros, zeros,
+            pid,
+            live.astype(jnp.int32),
+            zeros,
         ])
         out8, blk_total = seg_reduce_compact(
-            blk_new.astype(jnp.int32), v8, out_budget=nseg)
+            blk_new.astype(jnp.int32), v8,
+            ops=("sum", "min", "min", "max", "max", "first", "sum", "first"),
+            out_budget=nseg)
         bcol = jnp.arange(nseg, dtype=jnp.int32)
         bmask = bcol < blk_total
         b_w = jnp.where(bmask, out8[0], 0)
@@ -962,21 +934,7 @@ def dot_matrix_align(
         b_end0 = jnp.where(bmask, out8[3], 0)
         b_end1 = jnp.where(bmask, out8[4], 0)
         b_pid = jnp.where(bmask, out8[5], jnp.int32(BIGP))
-        # per-pair match counts from the same stream (pair runs are
-        # contiguous within the group sort)
-        pnew2 = jnp.concatenate([jnp.ones(1, bool), pid[1:] != pid[:-1]])
-        v8c = jnp.stack([live.astype(jnp.int32), zeros, zeros, zeros,
-                         zeros, pid, zeros, zeros])
-        mcb = pd if pd is not None else int(BIGP)
-        cout, ccnt = seg_reduce_compact(
-            pnew2.astype(jnp.int32), v8c, out_budget=mcb)
-        ccol = jnp.arange(mcb, dtype=jnp.int32)
-        cpid = jnp.where((ccol < ccnt) & (cout[5] < BIGP), cout[5],
-                         jnp.int32(BIGP))
-        match_cnt = (
-            jnp.zeros(int(BIGP) + 1, jnp.int32)
-            .at[cpid].set(cout[0], mode="drop")[: int(BIGP)]
-        )
+        b_cnt = jnp.where(bmask, out8[6], 0)
     else:
         blk_id = jnp.maximum(jnp.cumsum(blk_new.astype(jnp.int32)) - 1, 0)
         blk_total = blk_id[-1] + 1
@@ -990,7 +948,17 @@ def dot_matrix_align(
         b_beg1 = jax.ops.segment_min(jnp.where(live, o2, INT32_MAX), blk_id, num_segments=nseg, indices_are_sorted=True)
         b_end1 = jax.ops.segment_max(jnp.where(live, o2 + l2, 0), blk_id, num_segments=nseg, indices_are_sorted=True)
         b_pid = _seg_firsts(blk_new & live, blk_id, pid, nseg, int(BIGP))
-    b_live = (b_pid < BIGP) & (b_w >= min_block_len)
+        b_cnt = jax.ops.segment_sum(live.astype(jnp.int32), blk_id,
+                                    num_segments=nseg, indices_are_sorted=True)
+    # per-pair seed-match counts: every live match belongs to exactly one
+    # block, so match_cnt = scatter-add of block counts at nbk width (the
+    # round-3 design paid a second full-width pass for this)
+    match_cnt = (
+        jnp.zeros(int(BIGP) + 1, jnp.int32)
+        .at[jnp.minimum(b_pid, jnp.int32(BIGP))]
+        .add(b_cnt, mode="drop")[: int(BIGP)]
+    )
+    b_live = b_pid < BIGP
     if stage == "blocks":
         return _stage_result(b_w[::64].sum() + b_beg0[::64].sum()
                              + b_pid[::64].sum())
@@ -1047,7 +1015,12 @@ def dot_matrix_align(
         W_b1 = jax.ops.segment_min(jnp.where(hlive, hb1, INT32_MAX), w_id, num_segments=nseg, indices_are_sorted=True)
         W_e1 = jax.ops.segment_max(jnp.where(hlive, he1, 0), w_id, num_segments=nseg, indices_are_sorted=True)
         W_pid = _seg_firsts(w_new & hlive, w_id, hpid, nseg, int(BIGP))
-    W_live = W_pid < BIGP
+    # min_block_len applies to MERGED windows: fixed diagonal buckets can
+    # split one true anchor region into two sub-threshold blocks, and the
+    # 2*yvar merge rejoins them before the filter (reference min_block_len
+    # gating hzm_aln.h:833-846 precedes its merge, but its diagonal
+    # windows overlap, which prevents boundary splits in the first place)
+    W_live = (W_pid < BIGP) & (W_w >= min_block_len)
     if stage == "merge":
         return _stage_result(W_w[::64].sum() + W_pid[::64].sum())
     # ---- gather top-nb windows per pair into dense [pd, nb] ----

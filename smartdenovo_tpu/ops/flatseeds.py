@@ -146,7 +146,6 @@ class DeviceIndexes(NamedTuple):
     # slice starts at a RM_BLK multiple (gap entries carry sentinel zsd)
     rm_zsd: jnp.ndarray    # [Tz] int32 zmer<<9|span<<1|dir, (rd, zmer) sorted
     rm_pk: jnp.ndarray     # [Tz] int32 off<<9|span<<1|dir
-    rm_fo: jnp.ndarray     # [Tz] int32 (rdlen-off-span)<<9|span<<1|dir
     rm_rd: jnp.ndarray     # [Tz] int32 read id per posting (sweep matcher)
     rm_start: jnp.ndarray  # [Npad+1] int32 ALIGNED CSR (RM_BLK multiples)
     rm_cnt: jnp.ndarray    # [Npad] int32 live postings per read
@@ -198,8 +197,13 @@ def build_indexes_device(
     cutoff = (jnp.int32(max_kmer_freq) if max_kmer_freq >= 2
               else jnp.maximum(kavg * 5, 100))
     keepk = live & (myfreq > 1) & (myfreq <= cutoff)
-    kk2 = jnp.where(keepk, kk, SENT_U32)
-    kk2, krdpk2 = jax.lax.sort((kk2, krdpk), num_keys=1)  # stable: dead to end
+    # stable compaction of survivors (already kmer-sorted): two sorted
+    # scatters replace the round-3 full re-sort
+    kdst = jnp.where(keepk, jnp.cumsum(keepk.astype(jnp.int32)) - 1, T)
+    kk2 = (jnp.full(T + 1, SENT_U32, jnp.uint32)
+           .at[kdst].set(kk, mode="drop")[:T])
+    krdpk2 = (jnp.zeros(T + 1, jnp.int32)
+              .at[kdst].set(krdpk, mode="drop")[:T])
     k_rd = krdpk2 >> 1
     # per-read expansion need: total frequency of the read's surviving,
     # sampled kmers (drives the candidate-scan budget exactly)
@@ -249,13 +253,6 @@ def build_indexes_device(
                    fill=SENT_ZSD)
     rm_pk = zscat(zaux)
     rm_rd = zscat(zk1, fill=Npad)
-    if read_lens is not None:
-        R = read_lens.shape[0]
-        rl = read_lens[jnp.clip(zk1, 0, R - 1)]
-        fo = rl - (zaux >> 9) - ((zaux >> 1) & 0xFF)    # rdlen - off - span
-        rm_fo = zscat((fo << 9) | (zaux & 0x1FF))
-    else:
-        rm_fo = rm_pk
     # global zmer frequency (direct-addressed, zsize <= 12) -> per-read
     # cross mass: SUM over the read's kept postings of the global freq of
     # that zmer == the sweep matcher's exact expansion size for the read
@@ -285,10 +282,30 @@ def build_indexes_device(
     ])
     return DeviceIndexes(
         k_kmers=kk2, k_rd=k_rd, k_dir=(krdpk2 & 1).astype(jnp.int8),
-        rm_zsd=rm_zsd, rm_pk=rm_pk, rm_fo=rm_fo, rm_rd=rm_rd,
+        rm_zsd=rm_zsd, rm_pk=rm_pk, rm_rd=rm_rd,
         rm_start=rm_start, rm_cnt=zcnt_per_rd,
         stats=stats,
     )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ksize", "zsize", "hz", "ksave", "max_kmer_freq", "max_zmer_freq",
+    "zbits"))
+def build_bank_indexes(flat, offsets, read_lens, *, ksize: int, zsize: int,
+                       hz: bool = True, ksave: int = 4,
+                       max_kmer_freq: int = 0, max_zmer_freq: int = 16,
+                       zbits: int = 20):
+    """Both seed extractions + the index build in ONE dispatch.
+
+    The k-mer and z-mer extractions share the identical homopolymer
+    compaction; tracing them inside one jit lets XLA CSE it (separate
+    dispatches each paid it, plus one extra tunnel RPC ~0.25 s)."""
+    k16 = flat_seeds.__wrapped__(flat, offsets, ksize, hz)
+    z10 = flat_seeds.__wrapped__(flat, offsets, zsize, hz)
+    didx = build_indexes_device.__wrapped__(
+        k16, z10, read_lens, ksave=ksave, max_kmer_freq=max_kmer_freq,
+        max_zmer_freq=max_zmer_freq, zbits=zbits)
+    return k16, z10, didx
 
 
 @functools.partial(jax.jit, static_argnames=("Lc",))

@@ -38,8 +38,8 @@ import jax.numpy as jnp
 from ..data.readbank import ReadBank
 from ..ops.seeds import subsample_mask
 from ..ops.flatseeds import (flat_seeds, build_indexes_device,
-                             gather_query_rows, pad_pow2, FlatSeeds,
-                             DeviceIndexes)
+                             build_bank_indexes, gather_query_rows,
+                             pad_pow2, FlatSeeds, DeviceIndexes)
 from ..ops.candidates import scan_candidates
 from ..ops.dotmatrix import (extract_zmer_pairs_join, extract_zmer_pairs_vtab,
                              extract_zmer_pairs_sweep, dot_matrix_align)
@@ -244,14 +244,15 @@ def _cand_scan_device(rids_all, qlens_all, qskip_all, k16: FlatSeeds,
 _PAIR_STATICS = ("Q", "Lc", "Adm", "mb", "pb", "nbk", "pd", "cx", "qkb", "nb",
                  "kvar", "zbits", "max_per_read", "xvar", "yvar",
                  "min_block_len", "max_overhang", "deviation_penalty",
-                 "gap_penalty", "matcher", "phase3", "segk")
+                 "gap_penalty", "matcher", "phase3", "segk", "max_len")
 
 
 def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
                *, Q, Lc, Adm, mb, pb, nbk, qkb, nb, kvar, zbits,
                max_per_read, xvar, yvar, min_block_len, max_overhang,
                deviation_penalty, gap_penalty, matcher="sweep", cx=0,
-               pd=None, phase3="fill", segk="fill", **_unused):
+               pd=None, phase3="fill", segk="fill", max_len=1 << 17,
+               **_unused):
     n = read_lens.shape[0]
     if matcher == "sweep":
         # mb = occurrence width (exact from stats), cx = cross-expansion
@@ -275,7 +276,7 @@ def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
         zk, zoff, zspan, zdir, zvalid = gather_query_rows(z10, rids, Lc)
         pairs = extract_zmer_pairs_join(
             zk, zdir, zoff, zspan, zvalid, csorted,
-            didx.rm_zsd, didx.rm_pk, didx.rm_fo, didx.rm_start, read_lens,
+            didx.rm_zsd, didx.rm_pk, didx.rm_start, read_lens,
             expand_budget=mb, pair_budget=pb, kvar=kvar, zbits=zbits,
             max_per_read=max_per_read, qprobe_budget=qkb, phase3=phase3,
         )
@@ -288,7 +289,7 @@ def _pair_core(rids, qlens, csorted, z10, didx, read_lens,
         n_pairs=Q * Adm * 2, nb=nb, xvar=xvar, yvar=yvar,
         min_block_len=min_block_len, max_overhang=max_overhang,
         deviation_penalty=deviation_penalty, gap_penalty=gap_penalty, nbk=nbk,
-        pd=pd, segk=segk,
+        pd=pd, segk=segk, max_len=max_len,
     )
     totals = jnp.stack([
         pairs.total.astype(jnp.int32), pairs.expand_total.astype(jnp.int32),
@@ -435,10 +436,9 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         return overlap_gparts(rb, p, progress=progress, parts=parts, part=part)
     t0 = time.time()
     flat_d, offs_d, lens_d, T, Npad = _upload_bank(rb)
-    k16 = flat_seeds(flat_d, offs_d, p.ksize, p.hz)
-    z10 = flat_seeds(flat_d, offs_d, p.zsize, p.hz)
-    didx = build_indexes_device(
-        k16, z10, lens_d, ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
+    k16, z10, didx = build_bank_indexes(
+        flat_d, offs_d, lens_d, ksize=p.ksize, zsize=p.zsize, hz=p.hz,
+        ksave=p.ksave, max_kmer_freq=p.max_kmer_freq,
         max_zmer_freq=p.max_zmer_freq, zbits=2 * p.zsize)
     stats = np.asarray(didx.stats)                 # sync 1: index stats
     zcnt = stats[:Npad][:n].astype(np.int64)
@@ -565,6 +565,7 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
         yvar=p.yvar, min_block_len=p.min_block_len,
         max_overhang=p.max_overhang, deviation_penalty=p.deviation_penalty,
         gap_penalty=p.gap_penalty, pd=pd, phase3=ph3, segk=sgk,
+        max_len=Ltier,
     )
     if sw_engine:
         pair_static.update(C=C, Ltier=Ltier, W=p.band_w, match=p.sw_match,
@@ -581,11 +582,12 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
                 "matches will be dropped — lower batch_q", int(zneed),
                 p.expand_budget_cap)
         mb = min(pad_pow2(int(zneed) + 1024, lo=1 << 14), p.expand_budget_cap)
-        # pow2 tier of 0.8x the expansion: lands at mb/2 when the batch's
-        # match ratio (max measured 0.73) fits, else mb
-        pb = min(pad_pow2(int(zneed) * 4 // 5 + 1024, lo=1 << 14), mb)
-        return dict(mb=mb, pb=pb, nbk=max(pb // 4, 1 << 14), cx=0,
-                    matcher=matcher)
+        # tier of 0.75x the expansion (match ratio measured 0.49-0.73 on
+        # the bench sets); the overflow redispatch below catches the tail
+        pb = min(pad_pow2(int(zneed) * 3 // 4 + 1024, lo=1 << 14), mb)
+        # blocks measure ~0.18x matches; the merge phase runs at this width
+        nbk = pad_pow2(max(pb * 3 // 16, 1 << 14))
+        return dict(mb=mb, pb=pb, nbk=nbk, cx=0, matcher=matcher)
 
     def sweep_budgets(bi_lo, bi_hi):
         # mb = occurrence axis, cx = cross axis — both EXACT from stats;
@@ -687,8 +689,12 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
                     ov.pop(exp_key)
             if ptot > st2["pb"]:
                 ov["pb"] = pad_pow2(ptot + 1024)
-            if btot > st2["nbk"]:
-                ov["nbk"] = pad_pow2(btot + 1024)
+            # the streaming sseg kernel can garble its last tile+128
+            # records at the budget edge — treat near-full as overflow
+            if btot > st2["nbk"] - 2048:
+                ov["nbk"] = pad_pow2(btot + 4096)
+                if ov["nbk"] <= st2["nbk"]:
+                    ov.pop("nbk")
             if not sw_engine and rtot > st2["pd"]:
                 ov["pd"] = pad_pow2(rtot + 64)
             if not ov:
@@ -704,6 +710,8 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
             pack_rows[bi] = np.asarray(tmp)[0]
             batch_pd[bi] = st2.get("pd", pd)
 
+    if progress:
+        log("overflow checks done: %.1fs", time.time() - t0)
     # ---- host emission (sequential reference semantics) ----
     overlaps: list[Overlap] = []
     emitted_pairs: set[tuple[int, int]] = set()

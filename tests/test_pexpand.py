@@ -8,15 +8,18 @@ from smartdenovo_tpu.ops import pexpand
 
 @pytest.fixture(autouse=True)
 def interpret_mode():
-    from smartdenovo_tpu.ops import sseg
+    from smartdenovo_tpu.ops import jpost, sseg
 
     old = pexpand.INTERPRET
     olds = sseg.INTERPRET
+    oldj = jpost.INTERPRET
     pexpand.INTERPRET = True
-    sseg.INTERPRET = True     # phase3="pallas" also compacts via sseg
+    sseg.INTERPRET = True
+    jpost.INTERPRET = True    # phase3="pallas" extracts emitters via jpost
     yield
     pexpand.INTERPRET = old
     sseg.INTERPRET = olds
+    jpost.INTERPRET = oldj
 
 
 def oracle(cnt, pay, aux, base, pb):
