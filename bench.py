@@ -57,7 +57,11 @@ def run_ours_worker(fasta: str) -> None:
 
     enable_compilation_cache()
     rb = ReadBank.from_fasta(fasta)
-    params = ZmoParams.dmo()   # -A 1000, same as the reference cmd
+    # -A 1000, same as the reference cmd; SDTPU_BENCH_Q / SDTPU_BENCH_MATCHER
+    # override the query batch width / matcher for experiments
+    params = ZmoParams.dmo(
+        batch_q=int(os.environ.get("SDTPU_BENCH_Q", "64")),
+        matcher=os.environ.get("SDTPU_BENCH_MATCHER", "auto"))
     t0 = time.time()
     overlaps = overlap_dmo(rb, params, progress=True)
     cold = time.time() - t0

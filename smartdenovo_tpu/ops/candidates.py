@@ -137,45 +137,56 @@ def scan_candidates(
     )
     if suppress.shape[1] > 0:
         keep &= ~_binary_search_rows(suppress, q_local, cand, suppress_cnt)
-    # sort events by (query, candidate*2+dir, qpos); dead events to the end
-    k1 = jnp.where(keep, q_local, jnp.int32(Q))
-    k2 = jnp.where(keep, cand * 2 + cdir, INT32_MAX)
-    k3 = jnp.where(keep, qpos, INT32_MAX)
-    k1, k2, k3, span_s = jax.lax.sort((k1, k2, k3, span), num_keys=3)
-    live = k1 < Q
-    seg_new = jnp.concatenate(
-        [jnp.ones(1, bool), (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
-    )
-    prev_end = jnp.concatenate([jnp.zeros(1, jnp.int32), (k3 + span_s)[:-1]])
+    # sort events by (query, candidate*2+dir, qpos); dead events to the
+    # end.  (q, cand, dir) packs into ONE key when Q*(2R+2) fits int32
+    # (R, Q are static) — the sort then carries 2 lanes instead of 4
+    R2 = 2 * read_lens.shape[0] + 2
+    assert Q * R2 < (1 << 31) - 1, "pack overflow: shard the bank (-G)"
+    assert Q <= 255, "top-A key packing supports batch_q <= 255"
+    kq = jnp.where(keep, q_local * R2 + cand * 2 + cdir, INT32_MAX)
+    k3s = jnp.where(keep, (qpos << 8) | jnp.minimum(span, 255), INT32_MAX)
+    kq, k3s = jax.lax.sort((kq, k3s), num_keys=2)
+    live = kq != INT32_MAX
+    qpos_s = jnp.where(live, k3s >> 8, 0)
+    span_s = jnp.where(live, k3s & 0xFF, 0)
+    seg_new = jnp.concatenate([jnp.ones(1, bool), kq[1:] != kq[:-1]])
+    prev_end = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), (qpos_s + span_s)[:-1]])
     contrib = jnp.where(
-        seg_new, span_s, jnp.clip(jnp.minimum(span_s, k3 + span_s - prev_end), 0)
+        seg_new, span_s,
+        jnp.clip(jnp.minimum(span_s, qpos_s + span_s - prev_end), 0)
     )
     contrib = jnp.where(live, contrib, 0)
     seg_id = jnp.cumsum(seg_new.astype(jnp.int32)) - 1
     n_seg = budget  # upper bound
     seg_ol0 = jax.ops.segment_sum(contrib, seg_id, num_segments=n_seg)
     first_idx = jnp.where(seg_new & live, seg_id, n_seg)
-    seg_q0 = jnp.full(n_seg + 1, Q, jnp.int32).at[first_idx].set(k1, mode="drop")[:n_seg]
-    seg_c20 = jnp.full(n_seg + 1, INT32_MAX, jnp.int32).at[first_idx].set(k2, mode="drop")[:n_seg]
-    # merge the two strands of each (q, cand) by max ol (wtzmo.c:525-535)
-    seg_cand = jnp.where(seg_c20 == INT32_MAX, INT32_MAX, seg_c20 >> 1)
-    m_new = jnp.concatenate(
-        [jnp.ones(1, bool), (seg_q0[1:] != seg_q0[:-1]) | (seg_cand[1:] != seg_cand[:-1])]
-    )
+    seg_kq = (jnp.full(n_seg + 1, INT32_MAX, jnp.int32)
+              .at[first_idx].set(kq, mode="drop")[:n_seg])
+    # merge the two strands of each (q, cand) by max ol (wtzmo.c:525-535):
+    # strands are adjacent in the packed key space (kq >> 1 strips dir)
+    seg_qc = jnp.where(seg_kq == INT32_MAX, INT32_MAX, seg_kq >> 1)
+    m_new = jnp.concatenate([jnp.ones(1, bool), seg_qc[1:] != seg_qc[:-1]])
     m_id = jnp.cumsum(m_new.astype(jnp.int32)) - 1
     seg_ol = jax.ops.segment_max(seg_ol0, m_id, num_segments=n_seg)
-    m_first = jnp.where(m_new & (seg_q0 < Q), m_id, n_seg)
-    seg_q = jnp.full(n_seg + 1, Q, jnp.int32).at[m_first].set(seg_q0, mode="drop")[:n_seg]
-    seg_c = jnp.full(n_seg + 1, INT32_MAX, jnp.int32).at[m_first].set(seg_cand, mode="drop")[:n_seg]
-    # top-ncand per query: sort by (q, -ol, cand)
+    m_first = jnp.where(m_new & (seg_kq != INT32_MAX), m_id, n_seg)
+    seg_qcm = (jnp.full(n_seg + 1, INT32_MAX, jnp.int32)
+               .at[m_first].set(seg_qc, mode="drop")[:n_seg])
+    seg_q = jnp.where(seg_qcm == INT32_MAX, Q, seg_qcm // (R2 // 2))
+    seg_c = jnp.where(seg_qcm == INT32_MAX, INT32_MAX, seg_qcm % (R2 // 2))
+    # top-ncand per query: sort by (q, -ol, cand); ol < 2^23 (comp length)
+    # packs with q into one key lane
     seg_live = (seg_q < Q) & (seg_ol >= kovl)
-    s1 = jnp.where(seg_live, seg_q, jnp.int32(Q))
-    s2 = jnp.where(seg_live, INT32_MAX - seg_ol, INT32_MAX)
+    s12 = jnp.where(
+        seg_live,
+        (seg_q << 23) | (((1 << 23) - 1) - jnp.minimum(seg_ol, (1 << 23) - 1)),
+        INT32_MAX)
     s3 = jnp.where(seg_live, seg_c, INT32_MAX)
-    s1, s2, s3 = jax.lax.sort((s1, s2, s3), num_keys=3)
+    s12, s3 = jax.lax.sort((s12, s3), num_keys=2)
     pos = jnp.arange(n_seg, dtype=jnp.int32)
+    live2 = s12 != INT32_MAX
+    s1 = jnp.where(live2, s12 >> 23, Q)
     q_first = jnp.full(Q + 1, n_seg, jnp.int32).at[s1].min(pos, mode="drop")[:Q]
-    live2 = s1 < Q
     rank = pos - q_first[jnp.clip(s1, 0, Q - 1)]
     sel = live2 & (rank < ncand)
     row = jnp.where(sel, s1, Q)
@@ -184,6 +195,6 @@ def scan_candidates(
     ols = (
         jnp.full((Q + 1, ncand), 0, jnp.int32)
         .at[row, col]
-        .set(INT32_MAX - s2, mode="drop")[:Q]
+        .set(((1 << 23) - 1) - (s12 & ((1 << 23) - 1)), mode="drop")[:Q]
     )
     return cands, ols, total, probe_total

@@ -356,11 +356,11 @@ def extract_zmer_pairs_join(
         from .jpost import join_emitters
         from .pexpand import expand_emit
 
-        # emitters = candidate entries with >=1 match; ratio to matches is
-        # ~0.25-0.4 at deep coverage but approaches 1 when qcnt ~= 1
-        # (shallow small genomes) — 5/8 covers both with the redispatch
-        # escape below as the net (budget stays a multiple of 128)
-        EB = max(pair_budget * 5 // 8, 1 << 14)
+        # emitters = candidate entries with >=1 match <= total slots: the
+        # measured emitter/match ratio reaches 0.74 (most runs have a
+        # single query occurrence), so the emitter budget must match the
+        # pair budget; the redispatch escape below covers the edge
+        EB = max(pair_budget, 1 << 14)
         eout, nem, total2 = join_emitters(
             key, pay, aux, max_per_read=max_per_read, out_budget=EB)
         ecol = jnp.arange(EB, dtype=jnp.int32)
