@@ -121,6 +121,16 @@ def _add_util(sub):
     q = sub.add_parser("idx", help="build + snapshot the overlap indexes (wtidx)")
     q.add_argument("inputs", nargs="+")
     q.add_argument("-o", "--output", required=True)
+    q = sub.add_parser("dbmidx", help="random-access FASTA store (dbm_index_fa.pl)")
+    q.add_argument("fasta")
+    q = sub.add_parser("dbmget", help="fetch reads from a dbm store "
+                                      "(dbm_read_fa.pl; tags name[+:b,e])")
+    q.add_argument("dbm")
+    q.add_argument("tags", nargs="*")
+    q = sub.add_parser("haplo", help="haplotype MSA clustering "
+                                     "(pbcluster_haplo.pl)")
+    q.add_argument("core", help="reference read name in the MSA")
+    q.add_argument("msa", help="TSV: name <tab> aligned-seq per line")
 
 
 def _add_asm(sub):
@@ -300,6 +310,33 @@ def main(argv=None):
         from .pipeline.idx import build_and_save_indexes
 
         build_and_save_indexes(args.inputs, args.output)
+        return 0
+
+    if args.cmd == "dbmidx":
+        from .utils.dbmfa import dbm_index_fa
+
+        print(dbm_index_fa(args.fasta))
+        return 0
+
+    if args.cmd == "dbmget":
+        import sys as _sys
+
+        from .utils.dbmfa import dbm_read_fa
+
+        tags = args.tags or [l.strip() for l in _sys.stdin if l.strip()]
+        dbm_read_fa(args.dbm, tags)
+        return 0
+
+    if args.cmd == "haplo":
+        from .utils.dbmfa import pbcluster_haplo
+
+        rows = []
+        with open(args.msa) as fh:
+            for line in fh:
+                c = line.split()
+                if len(c) >= 2:
+                    rows.append((c[0], c[1]))
+        pbcluster_haplo(args.core, rows)
         return 0
 
     if args.cmd == "asm":

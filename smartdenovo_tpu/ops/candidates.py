@@ -53,7 +53,8 @@ def _binary_search_rows(table: jnp.ndarray, row_ids: jnp.ndarray, values: jnp.nd
 
 
 @functools.partial(
-    jax.jit, static_argnames=("budget", "ncand", "kovl", "len_ratio", "probe_budget")
+    jax.jit, static_argnames=("budget", "ncand", "kovl", "len_ratio",
+                              "probe_budget", "segk")
 )
 def scan_candidates(
     qkmer: jnp.ndarray,   # [Q, L] uint32 canonical kmers (compressed-pos space)
@@ -75,6 +76,9 @@ def scan_candidates(
     kovl: int,
     len_ratio: float = 1.2,
     probe_budget: int = 0,   # 0 = no probe compaction (Q*L probes)
+    segk: str = "fill",      # "pallas" = ops/sseg.py streaming reduce of
+                             # the (q, cand, dir) event runs (TPU); "fill"
+                             # = XLA budget-wide segment scatters
 ):
     """Returns (cands [Q, ncand] int32 (-1 pad, ol-desc order), ols [Q, ncand],
     total expansion, total probes)."""
@@ -157,12 +161,36 @@ def scan_candidates(
         jnp.clip(jnp.minimum(span_s, qpos_s + span_s - prev_end), 0)
     )
     contrib = jnp.where(live, contrib, 0)
-    seg_id = jnp.cumsum(seg_new.astype(jnp.int32)) - 1
-    n_seg = budget  # upper bound
-    seg_ol0 = jax.ops.segment_sum(contrib, seg_id, num_segments=n_seg)
-    first_idx = jnp.where(seg_new & live, seg_id, n_seg)
-    seg_kq = (jnp.full(n_seg + 1, INT32_MAX, jnp.int32)
-              .at[first_idx].set(kq, mode="drop")[:n_seg])
+    # groups are bounded by the distinct (q, cand, dir) key space, so the
+    # group table is far narrower than the event budget; the +2048 keeps
+    # every record clear of the kernel's overlap-write slack
+    GB = (Q * R2 + 2048 + 127) // 128 * 128
+    if segk == "pallas" and GB <= budget:
+        # ONE streaming pass (ops/sseg.py) replaces both budget-wide
+        # segment scatters; records arrive compacted in key order
+        from .sseg import seg_reduce_compact
+
+        zz = jnp.zeros_like(kq)
+        out8, g_total = seg_reduce_compact(
+            seg_new.astype(jnp.int32),
+            jnp.stack([contrib, jnp.where(live, kq, INT32_MAX),
+                       zz, zz, zz, zz, zz, zz]),
+            ops=("sum", "first", "first", "first", "first", "first",
+                 "first", "first"),
+            out_budget=GB)
+        gcol = jnp.arange(GB, dtype=jnp.int32)
+        gmask = gcol < g_total
+        seg_ol0 = jnp.where(gmask, out8[0], 0)
+        seg_kq = jnp.where(gmask & (out8[1] != INT32_MAX), out8[1],
+                           INT32_MAX)
+        n_seg = GB
+    else:
+        seg_id = jnp.cumsum(seg_new.astype(jnp.int32)) - 1
+        n_seg = budget  # upper bound
+        seg_ol0 = jax.ops.segment_sum(contrib, seg_id, num_segments=n_seg)
+        first_idx = jnp.where(seg_new & live, seg_id, n_seg)
+        seg_kq = (jnp.full(n_seg + 1, INT32_MAX, jnp.int32)
+                  .at[first_idx].set(kq, mode="drop")[:n_seg])
     # merge the two strands of each (q, cand) by max ol (wtzmo.c:525-535):
     # strands are adjacent in the packed key space (kq >> 1 strips dir)
     seg_qc = jnp.where(seg_kq == INT32_MAX, INT32_MAX, seg_kq >> 1)

@@ -867,10 +867,11 @@ def dot_matrix_align(
     replaces the round-3 two 6-lane sorts.  Matches sort by
     (pair, diag // yvar, off1) — fixed yvar-wide diagonal buckets instead
     of adaptive diagonal runs (the reference uses overlapping yvar windows
-    + union-find, hzm_aln.h:721-889; both groupings are yvar-scale).  A
-    true anchor region straddling a bucket boundary splits into two
-    blocks, so the min_block_len filter moves AFTER the fast-merge phase
-    (2*yvar single-linkage), which rejoins exactly those splits."""
+    + union-find, hzm_aln.h:721-889; both groupings are yvar-scale).
+    Sub-threshold blocks are dropped BEFORE the merge exactly like the
+    reference (noise blocks otherwise chain into spurious windows), with
+    one bucket-split recovery: a half-threshold block whose neighbor
+    block continues it across the bucket boundary survives."""
     PB = pairs.pair_id.shape[0]
     if nbk is None:
         nbk = PB
@@ -958,7 +959,26 @@ def dot_matrix_align(
         .at[jnp.minimum(b_pid, jnp.int32(BIGP))]
         .add(b_cnt, mode="drop")[: int(BIGP)]
     )
-    b_live = b_pid < BIGP
+    # the min_block_len gate MUST precede the merge (reference
+    # hzm_aln.h:833-846): sub-threshold noise blocks otherwise chain into
+    # large spurious windows via single-linkage on dense random matches
+    # (measured: chain scores inflate ~+1000 and extents overrun the true
+    # overlap).  A fixed-bucket boundary can split one true block into
+    # two sub-threshold halves, so blocks above half the threshold also
+    # survive IF the adjacent bucket continues them (end/start within
+    # xvar on the query axis) — recovering exactly the boundary splits
+    # without admitting isolated noise.
+    b_half = (b_pid < BIGP) & (b_w >= (min_block_len + 1) // 2)
+    nxt_pid = jnp.concatenate([b_pid[1:], jnp.full(1, BIGP, jnp.int32)])
+    nxt_b0 = jnp.concatenate([b_beg0[1:], jnp.zeros(1, jnp.int32)])
+    nxt_half = jnp.concatenate([b_half[1:], jnp.zeros(1, bool)])
+    prv_pid = jnp.concatenate([jnp.full(1, BIGP, jnp.int32), b_pid[:-1]])
+    prv_e0 = jnp.concatenate([jnp.zeros(1, jnp.int32), b_end0[:-1]])
+    prv_half = jnp.concatenate([jnp.zeros(1, bool), b_half[:-1]])
+    join_nxt = nxt_half & (nxt_pid == b_pid) & (nxt_b0 <= b_end0 + xvar)
+    join_prv = prv_half & (prv_pid == b_pid) & (b_beg0 <= prv_e0 + xvar)
+    b_live = (b_pid < BIGP) & (
+        (b_w >= min_block_len) | (b_half & (join_nxt | join_prv)))
     if stage == "blocks":
         return _stage_result(b_w[::64].sum() + b_beg0[::64].sum()
                              + b_pid[::64].sum())

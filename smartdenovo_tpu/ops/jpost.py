@@ -56,7 +56,7 @@ def _make_kernel(T, OB, nt, mpr):
     T2 = T + 128   # staging width: 128-aligned write window + T records
 
     def kernel(key_ref, pay_ref, aux_ref, out_hbm, cnt_ref, stage_ref,
-               rec_ref, sem):
+               stage2_ref, rec_ref, sem):
         t = pl.program_id(0)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         col2 = jax.lax.broadcasted_iota(jnp.int32, (1, T2), 1)
@@ -142,18 +142,49 @@ def _make_kernel(T, OB, nt, mpr):
         rb2 = jnp.concatenate(
             [rec_ref[:, :], jnp.zeros((8, T), jnp.int32)], axis=1)
         staged = jnp.where(col2 < off, rb2, E)
-        stage_ref[:, :] = staged
-        d = pltpu.make_async_copy(
-            stage_ref,
-            out_hbm.at[:, pl.ds(
-                pl.multiple_of(jnp.minimum(aligned, OB - T2), 128), T2)],
-            sem)
-        d.start()
-        d.wait()
+        # double-buffered staging (cf. ops/sseg.py): compute overlaps the
+        # previous tile's DMA; waiting before this tile's start keeps the
+        # overlap-writes ordered
+        even = t % 2 == 0
+
+        @pl.when(even)
+        def _():
+            stage_ref[:, :] = staged
+
+        @pl.when(~even)
+        def _():
+            stage2_ref[:, :] = staged
+
         nbase = base_e + S_t
-        delta = ((nbase // 128) * 128) - aligned
-        rec_ref[:, :] = stage_ref[
-            :, pl.ds(pl.multiple_of(jnp.clip(delta, 0, T), 128), 128)]
+        delta = pl.multiple_of(
+            jnp.clip(((nbase // 128) * 128) - aligned, 0, T), 128)
+
+        @pl.when(even)
+        def _():
+            rec_ref[:, :] = stage_ref[:, pl.ds(delta, 128)]
+
+        @pl.when(~even)
+        def _():
+            rec_ref[:, :] = stage2_ref[:, pl.ds(delta, 128)]
+
+        @pl.when(t > 0)
+        def _():
+            pltpu.make_async_copy(stage_ref, stage_ref, sem).wait()
+
+        dst = out_hbm.at[:, pl.ds(
+            pl.multiple_of(jnp.minimum(aligned, OB - T2), 128), T2)]
+
+        @pl.when(even)
+        def _():
+            pltpu.make_async_copy(stage_ref, dst, sem).start()
+
+        @pl.when(~even)
+        def _():
+            pltpu.make_async_copy(stage2_ref, dst, sem).start()
+
+        @pl.when(t == nt - 1)
+        def _():
+            pltpu.make_async_copy(stage_ref, stage_ref, sem).wait()
 
         # ---- carries ----
         cnt_ref[0] = nbase
@@ -175,7 +206,7 @@ def join_emitters(
     *,
     max_per_read: int,
     out_budget: int,
-    tile: int = 1024,
+    tile: int = 0,   # 0 = default 1024 (the extraction matmul bounds T)
 ):
     """Extract dense emitter records from the sorted join stream.
 
@@ -188,7 +219,8 @@ def join_emitters(
     out_budget - tile - 128 as overflow and redispatch bigger.
     """
     N = key.shape[0]
-    T = tile
+    # T is capped by VMEM: the one-hot extraction matrices are [T+128, T]
+    T = tile or 1024
     OB = out_budget
     assert N % T == 0 and OB >= T + 128 and OB % 128 == 0, (N, T, OB)
     nt = N // T
@@ -206,7 +238,8 @@ def join_emitters(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, T + 128), jnp.int32),  # aligned write staging
+            pltpu.VMEM((8, T + 128), jnp.int32),  # staging buffer A
+            pltpu.VMEM((8, T + 128), jnp.int32),  # staging buffer B
             pltpu.VMEM((8, 128), jnp.int32),      # partial record block
             pltpu.SemaphoreType.DMA(()),
         ],

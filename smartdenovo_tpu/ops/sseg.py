@@ -95,8 +95,8 @@ def _split8(x):
 def _make_kernel(ops, T, OB, nt):
     T2 = T + 128   # staging width: 128-aligned write window + T records
 
-    def kernel(sn_ref, v_ref, out_hbm, cnt_ref, stage_ref, carry_ref,
-               rec_ref, sem):
+    def kernel(sn_ref, v_ref, out_hbm, cnt_ref, stage_ref, stage2_ref,
+               carry_ref, rec_ref, sem):
         t = pl.program_id(0)
         masks = _row_masks(ops)
         neutral = _neutral_col(ops)
@@ -173,31 +173,59 @@ def _make_kernel(ops, T, OB, nt):
         rb2 = jnp.concatenate(
             [rec_ref[:, :], jnp.zeros((8, T), jnp.int32)], axis=1)
         staged = jnp.where(col2 < off, rb2, E)
-        stage_ref[:, :] = staged
+        # double-buffered staging: compute fills buffer t%2 while the
+        # previous tile's DMA (other buffer) is still in flight; waiting
+        # on it BEFORE starting this tile's DMA keeps HBM writes ordered
+        # (the overlap-write trick needs tile t+1's write to land after
+        # tile t's)
+        even = t % 2 == 0
+
+        @pl.when(even)
+        def _():
+            stage_ref[:, :] = staged
+
+        @pl.when(~even)
+        def _():
+            stage2_ref[:, :] = staged
 
         # ---- carry <- this tile's trailing open segment ----
         last = x[:, T - 1: T]
         carry_ref[:, 0:1] = jnp.where(
             S_t == 0, _combine(ops, carry, last), last)
-
-        # ---- synchronous aligned write (overlap-write the tail) ----
-        d = pltpu.make_async_copy(
-            stage_ref,
-            out_hbm.at[:, pl.ds(
-                pl.multiple_of(jnp.minimum(aligned, OB - T2), 128), T2)],
-            sem)
-        d.start()
-        d.wait()
         nbase = base + S_t
         cnt_ref[0] = nbase
-        # keep the new partial 128-block for the next tile's prefix
-        delta = ((nbase // 128) * 128) - aligned     # 0..T, mult of 128
-        rec_ref[:, :] = stage_ref[
-            :, pl.ds(pl.multiple_of(jnp.clip(delta, 0, T), 128), 128)]
+        # keep the new partial 128-block for the next tile's prefix (from
+        # VMEM staging — independent of the DMA)
+        delta = pl.multiple_of(
+            jnp.clip(((nbase // 128) * 128) - aligned, 0, T), 128)
+
+        @pl.when(even)
+        def _():
+            rec_ref[:, :] = stage_ref[:, pl.ds(delta, 128)]
+
+        @pl.when(~even)
+        def _():
+            rec_ref[:, :] = stage2_ref[:, pl.ds(delta, 128)]
+
+        @pl.when(t > 0)
+        def _():
+            pltpu.make_async_copy(stage_ref, stage_ref, sem).wait()
+
+        dst = out_hbm.at[:, pl.ds(
+            pl.multiple_of(jnp.minimum(aligned, OB - T2), 128), T2)]
+
+        @pl.when(even)
+        def _():
+            pltpu.make_async_copy(stage_ref, dst, sem).start()
+
+        @pl.when(~even)
+        def _():
+            pltpu.make_async_copy(stage2_ref, dst, sem).start()
 
         # ---- final tile: flush the open segment as the last record ----
         @pl.when(t == nt - 1)
         def _():
+            pltpu.make_async_copy(stage_ref, stage_ref, sem).wait()
             fbase = cnt_ref[0]
             faligned = (fbase // 128) * 128
             foff = fbase - faligned
@@ -225,7 +253,7 @@ def seg_reduce_compact(
     ops: tuple = ("sum", "min", "min", "max", "max", "first", "first",
                   "first"),
     out_budget: int,
-    tile: int = 1024,
+    tile: int = 0,   # 0 = default 1024 (the extraction matmul bounds T)
 ):
     """Reduce a sorted-segment stream to compacted per-segment records.
 
@@ -242,7 +270,8 @@ def seg_reduce_compact(
     if seg_new.ndim == 1:
         seg_new = seg_new[None, :]
     N = v8.shape[1]
-    T = tile
+    # T is capped by VMEM: the one-hot extraction matrices are [T+128, T]
+    T = tile or 1024
     OB = out_budget
     assert N % T == 0 and OB >= T + 128 and OB % 128 == 0, (N, T, OB)
     nt = N // T
@@ -259,7 +288,8 @@ def seg_reduce_compact(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, T + 128), jnp.int32),  # aligned write staging
+            pltpu.VMEM((8, T + 128), jnp.int32),  # staging buffer A
+            pltpu.VMEM((8, T + 128), jnp.int32),  # staging buffer B
             pltpu.VMEM((8, 2), jnp.int32),        # open-segment carry
             pltpu.VMEM((8, 128), jnp.int32),      # partial record block
             pltpu.SemaphoreType.DMA(()),

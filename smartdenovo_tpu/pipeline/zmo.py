@@ -190,11 +190,12 @@ class Overlap:
 
 
 _CAND_STATICS = ("Q", "Lc", "A", "Adm", "cbud", "kq", "ksave", "kovl",
-                 "len_ratio")
+                 "len_ratio", "csegk")
 
 
 def _cand_core(rids, qlens, qskip, k16, didx, read_lens,
-               *, Q, Lc, A, Adm, cbud, kq, ksave, kovl, len_ratio):
+               *, Q, Lc, A, Adm, cbud, kq, ksave, kovl, len_ratio,
+               csegk="fill"):
     """Phase 1 body: candidate selection for one batch.  Returns the
     sorted top-Adm candidate table and the batch's exact phase-2 sizes."""
     n = read_lens.shape[0]
@@ -206,7 +207,7 @@ def _cand_core(rids, qlens, qskip, k16, didx, read_lens,
         qk, qoff, qspan, kvalid, rids, qlens, qskip,
         didx.k_kmers, didx.k_rd, didx.k_dir, read_lens,
         sup0, supc0, budget=cbud, ncand=A, kovl=kovl, len_ratio=len_ratio,
-        probe_budget=kq,
+        probe_budget=kq, segk=csegk,
     )
     cands_dm = cands[:, :Adm]
     key = jnp.where(cands_dm < 0, jnp.int32(INT32_MAX), cands_dm)
@@ -502,7 +503,11 @@ def overlap_dmo(rb: ReadBank, params: ZmoParams | None = None, progress: bool = 
     kq = pad_pow2(max((int(kprobes[b].sum()) for b in batches), default=1)
                   + Q, lo=1 << 12)
     cand_static = dict(Q=Q, Lc=Lc, A=A, Adm=Adm, cbud=cbud, kq=kq,
-                       ksave=p.ksave, kovl=p.kovl, len_ratio=p.len_ratio)
+                       ksave=p.ksave, kovl=p.kovl, len_ratio=p.len_ratio,
+                       csegk=("pallas" if (p.segk == "pallas" or (
+                           p.segk == "auto"
+                           and jax.default_backend() == "tpu"))
+                           else "fill"))
     all_rids = []
     rids_all = np.zeros((Btier, Q), np.int32)
     qlens_all = np.zeros((Btier, Q), np.int32)

@@ -133,3 +133,35 @@ def test_zmer_index_caps_per_read():
     key = zm.astype(np.uint64) << np.uint64(32) | rd.astype(np.uint64)
     _, counts = np.unique(key, return_counts=True)
     assert counts.max() < 4
+
+
+def test_candidates_segk_pallas_matches_fill():
+    """The streaming group-reduce path must reproduce the fill path's
+    candidate tables exactly (interpret mode on CPU)."""
+    from smartdenovo_tpu.ops import sseg
+
+    g, rb = _bank()
+    idx = build_kmer_index(rb, ksize=16, ksave=4)
+    Q = 4
+    rids = np.arange(Q)
+    res, valid, lens = _query_arrays(rb, rids)
+    skip = np.zeros(Q, bool)
+    args = (
+        res["kmer"], res["off"], res["span"], valid,
+        jnp.asarray(rids, jnp.int32), jnp.asarray(lens),
+        jnp.asarray(skip),
+        idx.kmers, idx.post_rd, idx.post_dir,
+        jnp.asarray(rb.lengths),
+        jnp.zeros((Q, 0), jnp.int32), jnp.zeros(Q, jnp.int32),
+    )
+    kw = dict(budget=1 << 18, ncand=32, kovl=300)
+    c1, o1, t1, p1 = scan_candidates(*args, segk="fill", **kw)
+    old = sseg.INTERPRET
+    sseg.INTERPRET = True
+    try:
+        c2, o2, t2, p2 = scan_candidates(*args, segk="pallas", **kw)
+    finally:
+        sseg.INTERPRET = old
+    assert (np.asarray(c1) == np.asarray(c2)).all()
+    assert (np.asarray(o1) == np.asarray(o2)).all()
+    assert int(t1) == int(t2) and int(p1) == int(p2)

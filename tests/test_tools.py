@@ -130,3 +130,38 @@ def test_upgma_clusters():
     assert labels[0] == labels[1]
     assert labels[2] == labels[3]
     assert labels[0] != labels[2]
+
+
+def test_dbm_fasta_roundtrip(tmp_path):
+    """dbm_index_fa / dbm_read_fa: strand + subrange tag semantics
+    (reference dbm_index_fa.pl / dbm_read_fa.pl)."""
+    import io
+
+    from smartdenovo_tpu.utils.dbmfa import dbm_index_fa, dbm_read_fa
+
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a desc\nACGTACGTAA\n>b\nGGGCCC\n")
+    db = dbm_index_fa(str(fa))
+    out = io.StringIO()
+    dbm_read_fa(db, ["a", "b[-]", "a[+:2,5]"], out=out)
+    recs = out.getvalue().strip().split("\n")
+    assert recs[0] == ">a" and recs[1] == "ACGTACGTAA"
+    assert recs[2] == ">b_R_1_6" and recs[3] == "GGGCCC"  # revcomp of GGGCCC
+    assert recs[4] == ">a_F_2_5" and recs[5] == "CGTA"
+
+
+def test_pbcluster_haplo_majority():
+    """pbcluster_haplo: the consensus converges to the majority haplotype."""
+    import io
+
+    from smartdenovo_tpu.utils.dbmfa import pbcluster_haplo
+
+    rows = [("core", "ACGT-ACGT"),
+            ("r1", "ACGT-ACGT"),
+            ("r2", "ACGT-ACGT"),
+            ("r3", "ATGT-ACGT"),
+            ("r4", "ACGT-ACCT")]
+    out = io.StringIO()
+    ref = pbcluster_haplo("core", rows, out=out)
+    assert ref == "ACGT-ACGT"
+    assert "REF[5]" in out.getvalue()
