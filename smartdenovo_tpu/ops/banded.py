@@ -88,7 +88,7 @@ def banded_align(
 
     h0, d0 = row0()
 
-    def step(hprev, i):
+    def row_update(hprev, i):
         # i is a scalar row index (same for the whole batch)
         bs = jax.lax.dynamic_index_in_dim(base, i, axis=1, keepdims=False)      # [B]
         bp = jax.lax.dynamic_index_in_dim(base, i - 1, axis=1, keepdims=False)  # [B]
@@ -125,14 +125,40 @@ def banded_align(
         s = jnp.where(okj & oki, s, NEG_INF)
         return s, (s, d)
 
-    iters = jnp.arange(1, LA + 1, dtype=jnp.int32)
-    hlast, (hs, ds) = jax.lax.scan(step, h0, iters)
+    # UNROLL rows per scan step: the per-row tensors are tiny ([B, W]),
+    # so wall-clock is bound by the sequential step count, not FLOPs.
+    # Only the DIRECTION plane is stacked; each read's final H row is
+    # captured into the carry at i == alen (stacking H too held an extra
+    # [LA, B, W] int32 — the difference between fitting B=128 in HBM and
+    # a 2.25 GB OOM at consensus scale).
+    UNROLL = 4 if LA % 4 == 0 else (2 if LA % 2 == 0 else 1)
+
+    def step(carry, i0):
+        h, hold = carry
+        dd = []
+        ss = []
+        for u in range(UNROLL):
+            i = i0 * UNROLL + u + 1
+            h, (s_u, d_u) = row_update(h, i)
+            hold = jnp.where(i == alen[:, None], s_u, hold)
+            dd.append(d_u)
+            ss.append(s_u)
+        ys = (jnp.stack(dd), jnp.stack(ss)) if return_rowmax else jnp.stack(dd)
+        return (h, hold), ys
+
+    iters = jnp.arange(0, LA // UNROLL, dtype=jnp.int32)
+    (hlast, hold), ys = jax.lax.scan(step, (h0, h0), iters)
+    if return_rowmax:
+        ds, hs = ys
+        hs = hs.reshape(LA, B, W)
+    else:
+        ds = ys
+    ds = ds.reshape(LA, B, W)
     dirs = jnp.concatenate([d0[None], ds], axis=0)  # [LA+1, B, W]
-    hs_all = jnp.concatenate([h0[None], hs], axis=0)
     bidx = jnp.arange(B)
     last_base = base[bidx, alen]
     if semiglobal_b:
-        last_row = hs_all[alen, bidx, :]  # [B, W]
+        last_row = hold                   # H at row alen per read
         cols = last_base[:, None] + lanes
         okc = (cols >= 0) & (cols <= blen[:, None])
         masked = jnp.where(okc, last_row, NEG_INF)
@@ -141,13 +167,15 @@ def banded_align(
         end_col = last_base + lane_end
     else:
         lane_end = blen - last_base
-        score = hs_all[alen, bidx, jnp.clip(lane_end, 0, W - 1)]
+        score = jnp.take_along_axis(
+            hold, jnp.clip(lane_end, 0, W - 1)[:, None], axis=1)[:, 0]
         score = jnp.where((lane_end >= 0) & (lane_end < W), score, NEG_INF)
         end_col = blen
     dirs_t = jnp.transpose(dirs, (1, 0, 2))
     if return_rowmax:
         # per-row best in-band cell (for extension alignments that may
-        # stop early with an end-clip penalty, reference kswx T logic)
+        # stop early with an end-clip bonus, reference kswx T logic)
+        hs_all = jnp.concatenate([h0[None], hs], axis=0)
         cols = base[:, :, None] + lanes[None]            # [B, LA+1, W]
         hrows = jnp.transpose(hs_all, (1, 0, 2))         # [B, LA+1, W]
         okc = (cols >= 0) & (cols <= blen[:, None, None])
@@ -198,50 +226,24 @@ def make_band_centers(anchors_list, alens, blens, LA: int, W: int) -> np.ndarray
     return base
 
 
-def traceback_banded(dirs: np.ndarray, base: np.ndarray, alen, end_col):
-    """Vectorised host traceback for banded_align.
+def traceback_banded(dirs, base: np.ndarray, alen, end_col):
+    """Traceback for banded_align (device scan + host run-length encode).
 
+    dirs may be a DEVICE array (preferred — only the [steps, B] move
+    stream is fetched, not the whole direction plane) or numpy.
     Returns (cigars, b_beg): per pair (ops, counts) run-length lists with
     ops M/I/D (I consumes a/row, D consumes b/col), and the column in b
     where the alignment starts (meaningful for semiglobal_b)."""
-    dirs = np.asarray(dirs)
+    from .traceback import rle_moves, tb_banded_device
+
     B, LR, W = dirs.shape
-    i = np.asarray(alen, np.int64).copy()
-    j = np.asarray(end_col, np.int64).copy()
-    paths = [[] for _ in range(B)]
-    bidx = np.arange(B)
-    done = (i <= 0) & (j <= 0)
-    maxsteps = 2 * LR + W
-    for _ in range(maxsteps):
-        if done.all():
-            break
-        lane = j - base[bidx, np.clip(i, 0, LR - 1)]
-        ok = (~done) & (lane >= 0) & (lane < W)
-        mv = np.where(ok, dirs[bidx, np.clip(i, 0, LR - 1), np.clip(lane, 0, W - 1)], 0)
-        # degenerate fallback if out of band or STOP before origin
-        stuck = (~done) & (mv == 0)
-        # STOP at row 0 with j > 0 = free leading gap in b (semiglobal)
-        done = done | (stuck & (i <= 0))
-        mv = np.where(stuck & (i > 0), UP, mv)
-        mv = np.where(done, 0, mv)
-        for k in np.nonzero(mv)[0]:
-            paths[k].append(int(mv[k]))
-        step_i = (mv == DIAG) | (mv == UP)
-        step_j = (mv == DIAG) | (mv == LEFT)
-        i -= step_i
-        j -= step_j
-        done = done | ((i <= 0) & (j <= 0))
-    out = []
+    T = 2 * LR + W
+    mvs, j_final = tb_banded_device(
+        jnp.asarray(dirs), jnp.asarray(base),
+        jnp.asarray(np.asarray(alen, np.int32)),
+        jnp.asarray(np.asarray(end_col, np.int32)), T=T)
+    mvs = np.asarray(mvs)
+    j = np.asarray(j_final, np.int64)
     code2op = {DIAG: "M", UP: "I", LEFT: "D"}
-    for path in paths:
-        path.reverse()
-        ops, counts = [], []
-        for c in path:
-            op = code2op[c]
-            if ops and ops[-1] == op:
-                counts[-1] += 1
-            else:
-                ops.append(op)
-                counts.append(1)
-        out.append((ops, counts))
+    out = [rle_moves(mvs[:, b], code2op, 0) for b in range(B)]
     return out, np.maximum(j, 0)

@@ -96,7 +96,7 @@ def refine_banded_affine(
     h0 = row0()
     e0 = jnp.full((B, W), NEG)
 
-    def step(carry, i):
+    def row_update(carry, i):
         hprev, eprev = carry
         bs = jax.lax.dynamic_index_in_dim(base, i, axis=1, keepdims=False)
         bp = jax.lax.dynamic_index_in_dim(base, i - 1, axis=1, keepdims=False)
@@ -149,14 +149,31 @@ def refine_banded_affine(
         e_next = jnp.where(oki, e_next, NEG)
         return (h, e_next), (h, d)
 
-    iters = jnp.arange(1, LA + 1, dtype=jnp.int32)
-    (hl, _el), (hs, ds) = jax.lax.scan(step, (h0, e0), iters)
+    # UNROLL rows per scan step (see ops/banded.py): wall-clock is bound
+    # by sequential step count, not the tiny per-row FLOPs.  Only the
+    # direction plane is stacked; each read's final H row is captured in
+    # the carry (stacking H too doubled the DP's HBM footprint).
+    UNROLL = 4 if LA % 4 == 0 else (2 if LA % 2 == 0 else 1)
+
+    def step(carry, i0):
+        c, hold = carry
+        ds_u = []
+        for u in range(UNROLL):
+            i = i0 * UNROLL + u + 1
+            c, (h_u, d_u) = row_update(c, i)
+            hold = jnp.where(i == alen[:, None], h_u, hold)
+            ds_u.append(d_u)
+        return (c, hold), jnp.stack(ds_u)
+
+    iters = jnp.arange(0, LA // UNROLL, dtype=jnp.int32)
+    ((hl, _el), hold), ds = jax.lax.scan(step, ((h0, e0), h0), iters)
+    ds = ds.reshape(LA, B, W)
     d0 = jnp.zeros((B, W), jnp.uint8)
     dirs = jnp.concatenate([d0[None], ds], axis=0)   # [LA+1, B, W]
-    hs_all = jnp.concatenate([h0[None], hs], axis=0)
     bidx = jnp.arange(B)
     lane_end = blen - base[bidx, alen]
-    score = hs_all[alen, bidx, jnp.clip(lane_end, 0, W - 1)]
+    score = jnp.take_along_axis(
+        hold, jnp.clip(lane_end, 0, W - 1)[:, None], axis=1)[:, 0]
     score = jnp.where((lane_end >= 0) & (lane_end < W), score, NEG)
     return score, jnp.transpose(dirs, (1, 0, 2))
 
@@ -201,56 +218,21 @@ def band_from_cigar(cigars, alens, blens, LA: int, W: int) -> np.ndarray:
     return base
 
 
-def traceback_refine(dirs: np.ndarray, base: np.ndarray, alen, blen):
-    """Reference traceback state machine (kswx.h:636-655), vectorised.
+def traceback_refine(dirs, base: np.ndarray, alen, blen):
+    """Reference traceback state machine (kswx.h:636-655), run on device.
 
-    Returns per pair (ops, counts, mat, mis, ins, dl) where the caller
-    recomputes mat/mis by comparing sequences along M runs (the dirs
-    plane does not store the substitution flag).
-    """
-    dirs = np.asarray(dirs)
+    dirs may be a device array (preferred — only the [steps, B] move
+    stream is fetched) or numpy.  Returns per pair (ops, counts)."""
+    from .traceback import rle_moves, tb_refine_device
+
     B, LR, W = dirs.shape
-    i = np.asarray(alen, np.int64).copy()
-    j = np.asarray(blen, np.int64).copy()
-    state = np.zeros(B, np.int64)
-    paths = [[] for _ in range(B)]
-    bidx = np.arange(B)
-    done = (i <= 0) & (j <= 0)
-    for _ in range(2 * LR + W + 4):
-        if done.all():
-            break
-        lane = j - base[bidx, np.clip(i, 0, LR - 1)]
-        inband = (lane >= 0) & (lane < W)
-        z = np.where(
-            inband & ~done,
-            dirs[bidx, np.clip(i, 0, LR - 1), np.clip(lane, 0, W - 1)],
-            0,
-        )
-        mv = (z >> (2 * state)) & 3
-        # boundary handling: i==0 -> all remaining is D; j==0 -> I
-        mv = np.where(i <= 0, 2, mv)
-        mv = np.where((j <= 0) & (i > 0), 1, mv)
-        mv = np.where(done, 3, mv)  # 3 = no-op
-        for k in np.nonzero(mv != 3)[0]:
-            paths[k].append(int(mv[k]))
-        i = i - ((mv == 0) | (mv == 1))
-        j = j - ((mv == 0) | (mv == 2))
-        state = np.where(mv == 3, state, mv)
-        done = done | ((i <= 0) & (j <= 0))
-    out = []
+    T = 2 * LR + W + 4
+    mvs = np.asarray(tb_refine_device(
+        jnp.asarray(dirs), jnp.asarray(base),
+        jnp.asarray(np.asarray(alen, np.int32)),
+        jnp.asarray(np.asarray(blen, np.int32)), T=T))
     code2op = {0: "M", 1: "I", 2: "D"}
-    for path in paths:
-        path.reverse()
-        ops, counts = [], []
-        for c in path:
-            op = code2op[c]
-            if ops and ops[-1] == op:
-                counts[-1] += 1
-            else:
-                ops.append(op)
-                counts.append(1)
-        out.append((ops, counts))
-    return out
+    return [rle_moves(mvs[:, b], code2op, 3) for b in range(B)]
 
 
 def refine_alignment_batch(pairs, cigars, *, W_base: int = 64, match: int = 2,
@@ -292,7 +274,7 @@ def refine_alignment_batch(pairs, cigars, *, W_base: int = 64, match: int = 2,
         open_i=open_i, open_d=open_d, ext=ext,
     )
     score = np.asarray(score)
-    new_cigars = traceback_refine(np.asarray(dirs), base, alens, blens)
+    new_cigars = traceback_refine(dirs, base, alens, blens)
     out = []
     for k, (ops, counts) in enumerate(new_cigars):
         ac, bc = pairs[k]

@@ -105,7 +105,7 @@ def refine5q_banded(
         iq = jnp.where(last, jnp.int32(qclp), iq)
         return qb, st, sq, iq, dq, dt, last
 
-    def step(carry, i):
+    def row_update(carry, i):
         hprev, eprev = carry
         bs = jax.lax.dynamic_index_in_dim(base, i, axis=1, keepdims=False)
         bp = jax.lax.dynamic_index_in_dim(base, i - 1, axis=1, keepdims=False)
@@ -162,14 +162,29 @@ def refine5q_banded(
         e_next = jnp.where(oki, e_next, NEG)
         return (h, e_next), (h, d)
 
-    iters = jnp.arange(1, LA + 1, dtype=jnp.int32)
-    (hl, _el), (hs, ds) = jax.lax.scan(step, (h0, e0), iters)
+    # UNROLL rows per scan step (see ops/banded.py); only the direction
+    # plane is stacked — each read's final H row rides the carry
+    UNROLL = 4 if LA % 4 == 0 else (2 if LA % 2 == 0 else 1)
+
+    def step(carry, i0):
+        c, hold = carry
+        ds_u = []
+        for u in range(UNROLL):
+            i = i0 * UNROLL + u + 1
+            c, (h_u, d_u) = row_update(c, i)
+            hold = jnp.where(i == alen[:, None], h_u, hold)
+            ds_u.append(d_u)
+        return (c, hold), jnp.stack(ds_u)
+
+    iters = jnp.arange(0, LA // UNROLL, dtype=jnp.int32)
+    ((hl, _el), hold), ds = jax.lax.scan(step, ((h0, e0), h0), iters)
+    ds = ds.reshape(LA, B, W)
     d0 = jnp.zeros((B, W), jnp.uint8)
     dirs = jnp.concatenate([d0[None], ds], axis=0)
-    hs_all = jnp.concatenate([h0[None], hs], axis=0)
     bidx = jnp.arange(B)
     lane_end = blen - base[bidx, alen]
-    score = hs_all[alen, bidx, jnp.clip(lane_end, 0, W - 1)]
+    score = jnp.take_along_axis(
+        hold, jnp.clip(lane_end, 0, W - 1)[:, None], axis=1)[:, 0]
     score = jnp.where((lane_end >= 0) & (lane_end < W), score, NEG)
     return score, jnp.transpose(dirs, (1, 0, 2))
 
@@ -220,7 +235,7 @@ def refine5q_alignment_batch(pairs, quals, cigars, *, W_base: int = 64,
         LA=LA, W=W, qclp=qclp, qmis=qmis, qdel=qdel, qext=qext,
     )
     score = np.asarray(score)
-    new_cigars = traceback_refine(np.asarray(dirs), base, alens, blens)
+    new_cigars = traceback_refine(dirs, base, alens, blens)
     out = []
     for k, (ops, counts) in enumerate(new_cigars):
         ac, bc = pairs[k]

@@ -18,14 +18,13 @@ Output: consensus FASTA records per unitig.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..data.readbank import ReadBank, codes_to_seq, revcomp_codes
-from ..ops.seeds import extract_seeds
-from ..ops.index import build_zmer_index
-from ..ops.dotmatrix import extract_zmer_pairs, dot_matrix_align
 from ..ops.banded import banded_align, make_band_centers, traceback_banded
 from ..ops.swdp import align_strings
 from ..utils.log import log
@@ -56,7 +55,12 @@ class CnsParams:
     gap_del: int = -3      # -D, later rounds (deletion vs consensus)
     band: int = 256            # band width for the guided DP
     win_margin: int = 600      # cns window margin around expected span
-    batch_reads: int = 48
+    batch_reads: int = 64      # per-dispatch reads: the row scan's cost is
+                               # ~constant in B (step-latency bound), so
+                               # bigger batches amortize it; the dirs
+                               # plane ([B, LA, W] u8) bounds B — 128 at
+                               # LA=32768 crashed the TPU worker (HBM
+                               # pressure), 64 is safe to LA 32768
     max_zmer_per_read: int = 64
     xvar: int = 128
     yvar: int = 64
@@ -185,117 +189,92 @@ def _pad_tier(n: int, tiers=(1024, 2048, 4096, 8192, 16384, 32768, 65536)) -> in
     return ((n + 65535) // 65536) * 65536
 
 
-class _CnsBank:
-    """Minimal bank-like adapter over window sequences for the zmer index."""
+@functools.partial(jax.jit, static_argnames=("K", "D", "S"))
+def _probe_anchor_device(a, alen, w, wlen, doff, *, K=14, D=1024, S=96):
+    """Sampled k-mer probe anchoring of read i against window i.
 
-    def __init__(self, seqs: list[np.ndarray]):
-        self.lengths = np.array([len(s) for s in seqs], np.int32)
-        self._seqs = seqs
+    The layout already places every read near its window position (doff),
+    so anchoring only needs a few (read_pos, window_pos) points to center
+    the banded DP: S evenly spaced raw K-mers per read are matched
+    against the window within +-D of the expected diagonal.  ONE fused
+    dispatch replaces the round-3 per-batch zmer index builds + pair
+    extraction + dot-matrix chain (measured 60-150 s/iteration of host
+    round trips; cf. reference aln_read_wtcns zmer windows,
+    wtcns.c:286-434 — its anchors also only seed the banded DP).
 
-    def __len__(self):
-        return len(self._seqs)
+    Returns (px [B,S] read pos, py [B,S] window pos, found [B,S])."""
+    B, LA = a.shape
+    LW = w.shape[1]
 
-    def batch(self, rids, pad_to=None):
-        L = int(pad_to if pad_to is not None else max((self.lengths[r] for r in rids), default=0))
-        out = np.full((len(rids), L), 4, np.uint8)
-        for i, r in enumerate(rids):
-            out[i, : self.lengths[r]] = self._seqs[r][:L]
-        return out, self.lengths[np.asarray(rids)]
+    def roll_kmers(x):
+        km = jnp.zeros(x.shape, jnp.uint32)
+        bad = jnp.zeros(x.shape, jnp.int32)
+        for t in range(K):
+            sh = jnp.concatenate(
+                [x[:, t:], jnp.full((x.shape[0], t), 4, x.dtype)], axis=1)
+            km = (km << 2) | (sh & 3).astype(jnp.uint32)
+            bad = bad + (sh >= 4).astype(jnp.int32)
+        return km, bad == 0
+
+    ka, va = roll_kmers(a)
+    kw, vw = roll_kmers(w)
+    s = jnp.arange(S, dtype=jnp.int32)
+    px = jnp.maximum(alen[:, None] - K, 1) * s // S          # [B, S]
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    pxc = jnp.clip(px, 0, LA - 1)
+    pk = ka[bidx, pxc]
+    pv = va[bidx, pxc] & (px <= alen[:, None] - K)
+    j = jnp.arange(2 * D, dtype=jnp.int32)
+    wy = px[:, :, None] + doff[:, None, None] - D + j[None, None, :]
+    wyc = jnp.clip(wy, 0, LW - 1)
+    b3 = bidx[:, :, None]
+    hit = (
+        pv[:, :, None]
+        & (kw[b3, wyc] == pk[:, :, None])
+        & vw[b3, wyc]
+        & (wy >= 0)
+        & (wy <= wlen[:, None, None] - K)
+    )
+    pref = jnp.where(hit, -jnp.abs(j - D)[None, None, :], jnp.int32(-2 * D - 1))
+    bestj = jnp.argmax(pref, axis=2).astype(jnp.int32)
+    found = jnp.max(pref, axis=2) > -2 * D - 1
+    py = px + doff[:, None] - D + bestj
+    return px, py, found
 
 
-def _anchor_reads(reads, windows, p: CnsParams):
-    """Anchor each read i to window i via zmer match + dot-matrix chaining.
+def _anchor_reads(reads, windows, p: CnsParams, doffs):
+    """Anchor each read i to window i (device probes + median-diag filter).
 
-    Returns per read: list of (a_pos, b_pos) anchors (block corners) or [].
-    """
+    Returns per read: list of (a_pos, b_pos) anchors or []."""
     B = len(reads)
-    # index the windows (candidate side)
-    wbank = _CnsBank(windows)
-    widx = build_zmer_index(wbank, p.zsize, p.hz, p.max_zmer_per_read)
-    # also index the reads as "queries": reuse the same per-read cap by
-    # putting reads into the same index space is not needed — query arrays
-    # come straight from extraction; own-read membership must consult an
-    # index containing the READS, so build a tiny one for them too.
-    rbank = _CnsBank(list(reads))
-    ridx = build_zmer_index(rbank, p.zsize, p.hz, p.max_zmer_per_read)
-    LR = _pad_tier(max(len(r) for r in reads))
-    batch, lens = rbank.batch(np.arange(B), pad_to=LR)
-    zres = extract_seeds(jnp.asarray(batch), jnp.asarray(lens), p.zsize, p.hz)
-    # candidate table: read i -> window i only.  The window index read-ids
-    # are window ids; offset them so they can't collide with read ids.
-    cands = np.full((B, 1), 0, np.int32)
-    cands[:, 0] = np.arange(B)
-    # combined posting arrays: windows only (candidates); own-membership
-    # check must look up (zmer, read_id) among READ postings — pass a
-    # merged index with read ids offset by B.
-    zmers = np.concatenate([np.asarray(widx.zmers), np.asarray(ridx.zmers)])
-    post_rd = np.concatenate([np.asarray(widx.post_rd), np.asarray(ridx.post_rd) + B])
-    post_dir = np.concatenate([np.asarray(widx.post_dir), np.asarray(ridx.post_dir)])
-    post_off = np.concatenate([np.asarray(widx.post_off), np.asarray(ridx.post_off)])
-    post_span = np.concatenate([np.asarray(widx.post_span), np.asarray(ridx.post_span)])
-    order = np.argsort(
-        (zmers.astype(np.uint64) << np.uint64(32)) | post_rd.astype(np.uint64),
-        kind="stable",
-    )
-    zmers, post_rd, post_dir, post_off, post_span = (
-        zmers[order], post_rd[order], post_dir[order], post_off[order], post_span[order]
-    )
-    post_packed = (
-        (post_off.astype(np.int64) << 9)
-        | (np.minimum(post_span, 255).astype(np.int64) << 1)
-        | post_dir.astype(np.int64)
-    ).astype(np.int32)
-    read_lens = np.zeros(2 * B, np.int32)
-    read_lens[:B] = wbank.lengths
-    read_lens[B:] = rbank.lengths
-    qrids = np.arange(B, dtype=np.int32) + B  # reads live at offset B
-    tot_z = int(np.asarray(zres["valid"]).sum())
-    expand_budget = 1 << max(16, int(np.ceil(np.log2(max(1024, tot_z * 8)))))
-    pair_budget = max(1 << 15, expand_budget // 4)
-    pairs = extract_zmer_pairs(
-        zres["kmer"], zres["dir"], zres["off"], zres["span"], zres["valid"],
-        jnp.asarray(qrids), jnp.asarray(cands),
-        jnp.asarray(zmers), jnp.asarray(post_rd), jnp.asarray(post_packed),
-        jnp.asarray(read_lens),
-        expand_budget=expand_budget, pair_budget=pair_budget, kvar=p.kvar,
-    )
-    qlen_of_pair = np.repeat(rbank.lengths.astype(np.int32), 2)
-    clen_of_pair = np.repeat(wbank.lengths.astype(np.int32), 2)
-    res = dot_matrix_align(
-        pairs,
-        jnp.asarray(qlen_of_pair), jnp.asarray(clen_of_pair),
-        n_pairs=2 * B, nb=24,
-        xvar=p.xvar, yvar=p.yvar, min_block_len=p.min_block_len,
-        max_overhang=p.max_overhang,
-    )
-    pair_ids = np.asarray(res.pair_id)
-    scores = np.asarray(res.score)
-    bb0 = np.asarray(res.blk_b0)
-    be0 = np.asarray(res.blk_e0)
-    bb1 = np.asarray(res.blk_b1)
-    be1 = np.asarray(res.blk_e1)
-    on = np.asarray(res.blk_on)
-    anchors = [[] for _ in range(B)]
-    best = {}
-    for row, pid in enumerate(pair_ids):
-        if pid >= 2 * B:
+    LA = _pad_tier(max(len(r) for r in reads))
+    LW = _pad_tier(max(len(w) for w in windows))
+    a = np.full((B, LA), 4, np.uint8)
+    w = np.full((B, LW), 4, np.uint8)
+    alen = np.zeros(B, np.int32)
+    wlen = np.zeros(B, np.int32)
+    for i, (r, win) in enumerate(zip(reads, windows)):
+        a[i, : len(r)] = r
+        w[i, : len(win)] = win
+        alen[i] = len(r)
+        wlen[i] = len(win)
+    px, py, found = _probe_anchor_device(
+        jnp.asarray(a), jnp.asarray(alen), jnp.asarray(w), jnp.asarray(wlen),
+        jnp.asarray(np.asarray(doffs, np.int32)))
+    px = np.asarray(px)
+    py = np.asarray(py)
+    found = np.asarray(found)
+    anchors = []
+    for i in range(B):
+        xs = px[i][found[i]]
+        ys = py[i][found[i]]
+        if xs.size == 0:
+            anchors.append([])
             continue
-        rd = int(pid) // 2
-        d = int(pid) & 1
-        if d == 1:
-            continue  # read and its own window are same-strand by construction
-        if rd in best and scores[best[rd]] >= scores[row]:
-            continue
-        best[rd] = row
-    for rd, row in best.items():
-        anc = []
-        for kk in range(bb0.shape[1]):
-            if not on[row, kk]:
-                continue
-            anc.append((int(bb0[row, kk]), int(bb1[row, kk])))
-            anc.append((int(be0[row, kk]), int(be1[row, kk])))
-        anc.sort()
-        anchors[rd] = anc
+        d = ys.astype(np.int64) - xs
+        med = np.median(d)
+        keep = np.abs(d - med) <= 512      # repeat-hit outlier filter
+        anchors.append(sorted(zip(xs[keep].tolist(), ys[keep].tolist())))
     return anchors
 
 
@@ -321,7 +300,8 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
                 ws, we = 0, min(len(cns), len(unit.reads[i]) + 2 * p.win_margin)
             wstarts.append(ws)
             windows.append(cns[ws:we])
-        anchors = _anchor_reads(reads, windows, p)
+        doffs = [offs[i] - ws for i, ws in zip(ridx, wstarts)]
+        anchors = _anchor_reads(reads, windows, p, doffs)
         LA = _pad_tier(max(len(r) for r in reads))
         LBm = max(len(w) for w in windows)
         B = len(reads)
@@ -342,7 +322,7 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
             gap_a=ga, gap_b=gb, semiglobal_b=True,
         )
         score = np.asarray(score)
-        cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen, np.asarray(end_col))
+        cigs, b_begs = traceback_banded(dirs, base, alen, np.asarray(end_col))
         if p.refine:
             # affine re-alignment around the prior CIGAR (reference
             # kswx_refine_alignment, wtcns.c:372-381): canonical gap

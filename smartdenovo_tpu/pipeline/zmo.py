@@ -956,7 +956,7 @@ def _attach_cigars(rb, p, ovls):
         match=p.sw_match, mismatch=p.sw_mismatch, gap=p.sw_gap,
         semiglobal_b=True,
     )
-    cigs, b_begs = traceback_banded(np.asarray(dirs), base, alen, np.asarray(end_col))
+    cigs, b_begs = traceback_banded(dirs, base, alen, np.asarray(end_col))
     if p.refine:
         # reference -n: kswx_refine_alignment around each hit's CIGAR
         # (wtzmo.c:1031-1033) — canonical affine gap placement
