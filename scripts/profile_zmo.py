@@ -79,7 +79,9 @@ def main():
                p.expand_budget_cap)
     kq = Z.pad_pow2(int(kprobes[b].sum()) + Q, lo=1 << 12)
     cand_static = dict(Q=Q, Lc=Lc, A=A, Adm=Adm, cbud=cbud, kq=kq,
-                       ksave=p.ksave, kovl=p.kovl, len_ratio=p.len_ratio)
+                       ksave=p.ksave, kovl=p.kovl, len_ratio=p.len_ratio,
+                       csegk=("pallas" if jax.default_backend() == "tpu"
+                              else "fill"))
     cb, _ob, sb = Z._cand_scan_device(
         jnp.asarray(rids[None]), jnp.asarray(qlens[None]),
         jnp.asarray(qskip[None]), k16, didx, read_lens_d, **cand_static)
@@ -144,6 +146,18 @@ def main():
            lambda r, *xs: p1_vary(r, jnp.roll(jnp.asarray(rids), r),
                                   jnp.roll(jnp.asarray(qlens), r),
                                   jnp.asarray(qskip)), 0)
+
+    # ---- phase-1 cumulative stage sweep ----
+    for cst in ("probe", "expand", "sort", "seg"):
+        def p1_st(r, _st=cst):
+            cb1, _o, sb1 = Z._cand_scan_device(
+                jnp.roll(jnp.asarray(rids), r)[None],
+                jnp.roll(jnp.asarray(qlens), r)[None],
+                jnp.asarray(qskip)[None], k16, didx,
+                read_lens_d, **{**cand_static, "cstage": _st})
+            return sb1
+
+        timeit(f"phase1 stage<={cst}", lambda r, f=p1_st: f(r))
 
     jkw = dict(expand_budget=mb, pair_budget=pb, kvar=p.kvar,
                zbits=2 * p.zsize, max_per_read=p.max_zmer_freq,

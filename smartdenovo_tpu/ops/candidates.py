@@ -54,7 +54,7 @@ def _binary_search_rows(table: jnp.ndarray, row_ids: jnp.ndarray, values: jnp.nd
 
 @functools.partial(
     jax.jit, static_argnames=("budget", "ncand", "kovl", "len_ratio",
-                              "probe_budget", "segk")
+                              "probe_budget", "segk", "stage")
 )
 def scan_candidates(
     qkmer: jnp.ndarray,   # [Q, L] uint32 canonical kmers (compressed-pos space)
@@ -79,6 +79,8 @@ def scan_candidates(
     segk: str = "fill",      # "pallas" = ops/sseg.py streaming reduce of
                              # the (q, cand, dir) event runs (TPU); "fill"
                              # = XLA budget-wide segment scatters
+    stage: str = "full",     # profiling stop point: probe | expand |
+                             # sort | seg | full
 ):
     """Returns (cands [Q, ncand] int32 (-1 pad, ol-desc order), ols [Q, ncand],
     total expansion, total probes)."""
@@ -119,6 +121,9 @@ def scan_candidates(
     start = jnp.searchsorted(idx_kmers, flat_k, side="left").astype(jnp.int32)
     end = jnp.searchsorted(idx_kmers, flat_k, side="right").astype(jnp.int32)
     cnt = jnp.where(p_live, end - start, 0)
+    if stage == "probe":
+        z = jnp.zeros((Q, ncand), jnp.int32)
+        return z + cnt[::128].sum(), z, jnp.int32(0), probe_total
     # fixed-budget expansion of posting ranges (sorted scatter + cummax,
     # avoiding slow per-slot binary search)
     from .flatops import expand_ranges
@@ -141,6 +146,10 @@ def scan_candidates(
     )
     if suppress.shape[1] > 0:
         keep &= ~_binary_search_rows(suppress, q_local, cand, suppress_cnt)
+    if stage == "expand":
+        z = jnp.zeros((Q, ncand), jnp.int32)
+        return (z + cand[::128].sum() + keep[::128].sum(), z, total,
+                probe_total)
     # sort events by (query, candidate*2+dir, qpos); dead events to the
     # end.  (q, cand, dir) packs into ONE key when Q*(2R+2) fits int32
     # (R, Q are static) — the sort then carries 2 lanes instead of 4
@@ -150,6 +159,9 @@ def scan_candidates(
     kq = jnp.where(keep, q_local * R2 + cand * 2 + cdir, INT32_MAX)
     k3s = jnp.where(keep, (qpos << 8) | jnp.minimum(span, 255), INT32_MAX)
     kq, k3s = jax.lax.sort((kq, k3s), num_keys=2)
+    if stage == "sort":
+        z = jnp.zeros((Q, ncand), jnp.int32)
+        return z + kq[::128].sum() + k3s[::128].sum(), z, total, probe_total
     live = kq != INT32_MAX
     qpos_s = jnp.where(live, k3s >> 8, 0)
     span_s = jnp.where(live, k3s & 0xFF, 0)
@@ -191,6 +203,10 @@ def scan_candidates(
         first_idx = jnp.where(seg_new & live, seg_id, n_seg)
         seg_kq = (jnp.full(n_seg + 1, INT32_MAX, jnp.int32)
                   .at[first_idx].set(kq, mode="drop")[:n_seg])
+    if stage == "seg":
+        z = jnp.zeros((Q, ncand), jnp.int32)
+        return (z + seg_ol0[::64].sum() + seg_kq[::64].sum(), z, total,
+                probe_total)
     # merge the two strands of each (q, cand) by max ol (wtzmo.c:525-535):
     # strands are adjacent in the packed key space (kq >> 1 strips dir)
     seg_qc = jnp.where(seg_kq == INT32_MAX, INT32_MAX, seg_kq >> 1)

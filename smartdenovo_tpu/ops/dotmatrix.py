@@ -983,12 +983,23 @@ def dot_matrix_align(
         return _stage_result(b_w[::64].sum() + b_beg0[::64].sum()
                              + b_pid[::64].sum())
     # ---- fast merge: single-linkage over blocks at (xvar, 2*yvar) scale ----
+    # Surviving blocks are a small fraction of the block budget (the
+    # min_block_len gate kills most noise blocks), so the merge + window
+    # phases run at the narrower NBL budget: the first sort doubles as the
+    # compactor (live blocks sort to the front), everything after slices
+    # its prefix.  If live blocks ever exceed NBL, blk_total reports past
+    # the nbk budget so the caller's overflow redispatch regrows both.
+    NBL = max(nbk // 8, 1 << 14)
+    live_total = jnp.sum(b_live.astype(jnp.int32))
     m1 = jnp.where(b_live, b_pid, jnp.int32(BIGP))
     m2 = jnp.where(b_live, b_beg0 - b_beg1, INT32_MAX)
     m3 = jnp.where(b_live, b_beg0, INT32_MAX)
     m1, m2, m3, me0, mb1, me1, mw = jax.lax.sort(
         (m1, m2, m3, b_end0, b_beg1, b_end1, b_w), num_keys=3
     )
+    m1, m2, m3 = m1[:NBL], m2[:NBL], m3[:NBL]
+    me0, mb1, me1, mw = me0[:NBL], mb1[:NBL], me1[:NBL], mw[:NBL]
+    nseg = NBL
     mlive = m1 < BIGP
     mp_new = jnp.concatenate([jnp.ones(1, bool), m1[1:] != m1[:-1]])
     mg_new = mp_new | jnp.concatenate(
@@ -1179,6 +1190,14 @@ def dot_matrix_align(
     te_ = jnp.max(jnp.where(mark, D_e0, 0), axis=1)
     qb_ = jnp.min(jnp.where(mark, D_b1, INT32_MAX), axis=1)
     qe_ = jnp.max(jnp.where(mark, D_e1, 0), axis=1)
+    # live blocks overflowing the NBL merge budget report past nbk so the
+    # caller's redispatch regrows nbk (and with it NBL = nbk/8); when
+    # NBL == nbk nothing was truncated and the existing blk_total-vs-nbk
+    # check already covers the budget edge
+    if NBL < nbk:
+        blk_total = jnp.where(live_total > NBL - 2048,
+                              jnp.maximum(blk_total, jnp.int32(nbk + 1)),
+                              blk_total)
     return DotMatrixResult(
         match_cnt=match_cnt,
         blk_total=blk_total,

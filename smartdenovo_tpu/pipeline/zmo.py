@@ -190,12 +190,12 @@ class Overlap:
 
 
 _CAND_STATICS = ("Q", "Lc", "A", "Adm", "cbud", "kq", "ksave", "kovl",
-                 "len_ratio", "csegk")
+                 "len_ratio", "csegk", "cstage")
 
 
 def _cand_core(rids, qlens, qskip, k16, didx, read_lens,
                *, Q, Lc, A, Adm, cbud, kq, ksave, kovl, len_ratio,
-               csegk="fill"):
+               csegk="fill", cstage="full"):
     """Phase 1 body: candidate selection for one batch.  Returns the
     sorted top-Adm candidate table and the batch's exact phase-2 sizes."""
     n = read_lens.shape[0]
@@ -207,7 +207,7 @@ def _cand_core(rids, qlens, qskip, k16, didx, read_lens,
         qk, qoff, qspan, kvalid, rids, qlens, qskip,
         didx.k_kmers, didx.k_rd, didx.k_dir, read_lens,
         sup0, supc0, budget=cbud, ncand=A, kovl=kovl, len_ratio=len_ratio,
-        probe_budget=kq, segk=csegk,
+        probe_budget=kq, segk=csegk, stage=cstage,
     )
     cands_dm = cands[:, :Adm]
     key = jnp.where(cands_dm < 0, jnp.int32(INT32_MAX), cands_dm)
