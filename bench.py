@@ -138,13 +138,20 @@ def main():
     workdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "work")
     os.makedirs(workdir, exist_ok=True)
 
-    rng = np.random.default_rng(2026)
-    genome = random_genome(rng, glen)
-    names, seqs = simulate_reads(genome, coverage=cov, mean_len=9000, err=0.13,
-                                 seed=2027)
-    rb = ReadBank(names, seqs)
-    fasta = os.path.join(workdir, "bench_reads.fa")
-    write_sim_fasta(fasta, rb.names, [rb.get(i) for i in range(len(rb))])
+    fasta_env = os.environ.get("BENCH_FASTA")
+    if fasta_env and os.path.exists(fasta_env):
+        # bench an existing read set (e.g. the E. coli parity set, so the
+        # perf number and the parity number describe the same workload)
+        fasta = fasta_env
+        rb = ReadBank.from_fasta(fasta)
+    else:
+        rng = np.random.default_rng(2026)
+        genome = random_genome(rng, glen)
+        names, seqs = simulate_reads(genome, coverage=cov, mean_len=9000,
+                                     err=0.13, seed=2027)
+        rb = ReadBank(names, seqs)
+        fasta = os.path.join(workdir, "bench_reads.fa")
+        write_sim_fasta(fasta, rb.names, [rb.get(i) for i in range(len(rb))])
     print(f"[bench] {len(rb)} reads, {rb.total_bases} bases", file=sys.stderr)
 
     # ---- ours (TPU), in a retried subprocess ----

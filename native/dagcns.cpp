@@ -114,16 +114,22 @@ struct Dag {
 // --- pairwise alignment polish (dagcns.h:214-262) -------------------------
 
 static void polish(std::vector<uint8_t>& a0, std::vector<uint8_t>& a1) {
-    // phase 1: split mismatch columns into insertion+deletion
+    // phase 1: split mismatch columns into deletion+insertion.  DEL-first
+    // matches the reference pipeline's effective order: aln_read_wtcns
+    // emits mismatches pre-split with the target base first
+    // (wtcns.c:404-414, has_mismatch=0), so polish_pairwise_aln's own
+    // ins-first split never fires on the rows that reach the DAG.  The
+    // order shifts alt-node positions by one and flips homopolymer-tie
+    // left-shift outcomes, which perturbs vote stacking.
     std::vector<uint8_t> r0, r1;
     r0.reserve(a0.size() * 2);
     r1.reserve(a1.size() * 2);
     for (size_t i = 0; i < a0.size(); i++) {
         if (a0[i] != a1[i] && a0[i] != GAP && a1[i] != GAP) {
-            r0.push_back(GAP);
-            r1.push_back(a1[i]);
             r0.push_back(a0[i]);
             r1.push_back(GAP);
+            r0.push_back(GAP);
+            r1.push_back(a1[i]);
         } else {
             r0.push_back(a0[i]);
             r1.push_back(a1[i]);

@@ -92,6 +92,29 @@ def main():
         if not os.path.exists(p):
             open(p, "w").close()
 
+    # zmo-engine goldens (run_zmo.sh:14-39, smartdenovo.pl:56-68):
+    # wtzmo SW mode + wtgbo rescue + wtclp -F -d 2 + wtlay -R -r 1
+    build_reference(tools=("wtgbo",))
+    def cut16(src, dst):
+        with open(src) as i, open(dst, "w") as o:
+            for line in i:
+                o.write("\t".join(line.rstrip("\n").split("\t")[:16]) + "\n")
+
+    sh([b("wtzmo"), "-t", "1", "-i", fa, "-fo", g("smoke.zmo.ovl.full"),
+        "-k", "16", "-s", "200", "-m", "0.6"])
+    cut16(g("smoke.zmo.ovl.full"), g("smoke.zmo.ref.ovl"))
+    os.remove(g("smoke.zmo.ovl.full"))
+    sh([b("wtgbo"), "-t", "1", "-i", fa, "-j", g("smoke.zmo.ref.ovl"),
+        "-fo", g("smoke.zmo.gbo.full")])
+    cut16(g("smoke.zmo.gbo.full"), g("smoke.zmo.ref.gbo"))
+    os.remove(g("smoke.zmo.gbo.full"))
+    sh([b("wtclp"), "-i", g("smoke.zmo.ref.ovl"), "-i", g("smoke.zmo.ref.gbo"),
+        "-fo", g("smoke.zmo.ref.obt"), "-F", "-d", "2"])
+    sh([b("wtlay"), "-i", fa, "-b", g("smoke.zmo.ref.obt"),
+        "-j", g("smoke.zmo.ref.ovl"), "-j", g("smoke.zmo.ref.gbo"),
+        "-fo", g("smoke.zmo.ref.lay"), "-s", "200", "-m", "0.6",
+        "-R", "-r", "1", "-c", "1"])
+
     # the verify recipe's locations
     shutil.copy(fa, os.path.join(WORK, "smoke.fa"))
     shutil.copy(g("smoke.ref.ovl"), os.path.join(WORK, "smoke.ref.ovl"))

@@ -78,10 +78,14 @@ def main():
     cbud = min(Z.pad_pow2(int(kneed[b].sum()) + 1024, lo=1 << 14),
                p.expand_budget_cap)
     kq = Z.pad_pow2(int(kprobes[b].sum()) + Q, lo=1 << 12)
+    # mirror the production csegk gate (zmo.py: pallas when p.segk=='pallas'
+    # or 'auto' on tpu) so profiles measure the configured path
+    csegk = ("pallas" if p.segk == "pallas"
+             or (p.segk == "auto" and jax.default_backend() == "tpu")
+             else "fill")
     cand_static = dict(Q=Q, Lc=Lc, A=A, Adm=Adm, cbud=cbud, kq=kq,
                        ksave=p.ksave, kovl=p.kovl, len_ratio=p.len_ratio,
-                       csegk=("pallas" if jax.default_backend() == "tpu"
-                              else "fill"))
+                       csegk=csegk)
     cb, _ob, sb = Z._cand_scan_device(
         jnp.asarray(rids[None]), jnp.asarray(qlens[None]),
         jnp.asarray(qskip[None]), k16, didx, read_lens_d, **cand_static)

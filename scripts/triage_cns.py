@@ -54,6 +54,10 @@ def main():
     else:
         res = run_cns(units, CnsParams(n_iter=args.iters))
         ours = codes_to_seq(res[0][1])
+        out = os.path.join(ROOT, "work", f"triage_{args.utg}.cns.fa")
+        with open(out, "w") as fh:
+            fh.write(f">{args.utg}\n{ours}\n")
+        print("saved", out)
     ref = fa_seqs(os.path.join(GOLD, "smoke.ref.cns"))[args.utg]
     print(f"{args.utg}: ref {len(ref)} bp, ours {len(ours)} bp "
           f"(delta {len(ours) - len(ref):+d})")

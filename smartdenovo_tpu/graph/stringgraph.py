@@ -40,6 +40,7 @@ class LayParams:
     best_score_cutoff: float = 0.95  # -r
     utg_sm: float = 0.4       # -q duplicated-unitig coverage
     mat_score: bool = False   # -R use matches as score
+    score_var: float = 0.2    # -S better_overlap tolerance (wtlay.c:2953)
     commands: str = "gCwgBgRURg"  # reference default (wtlay.c:2934);
                                   # 'g' dumps graphviz when dot_prefix set
     dot_prefix: str = ""      # write {prefix}.{N}.dot at each 'g' command
@@ -1001,6 +1002,250 @@ class StringGraph:
         return tip + bub + single + rec
 
     # ------------------------------------------------------------------
+    # optional -Q strategy ops (wtlay.c:186-800, 2106-2143)
+    # ------------------------------------------------------------------
+
+    def reduce_transitive(self) -> int:
+        """Myers-style transitive reduction (`T`, wtlay.c:495-547):
+        per node and direction, edges ranked by off descending (shortest
+        overlap first); an edge is cut (closed=2, recoverable) when a
+        two-hop path from its endpoint reaches a longer-overlap
+        neighbour of the same node."""
+        ret = 0
+        for nid in range(self.n):
+            if self.dead[nid]:
+                continue
+            n = self.nodes[nid]
+            for d in (0, 1):
+                edges = n.edges[d]
+                order = sorted(range(len(edges)),
+                               key=lambda j: -edges[j].off)
+                rank = {}
+                for j, ei in enumerate(order):
+                    if edges[ei].closed == 1:
+                        continue
+                    rank[edges[ei].node_id] = j
+                for j, ei in enumerate(order[:-1]):
+                    e = edges[ei]
+                    if e.closed:
+                        continue
+                    for e2 in self.nodes[e.node_id].edges[1 - e.dir]:
+                        if e2.closed == 1:
+                            continue
+                        k = rank.get(e2.node_id)
+                        if k is None or k <= j:
+                            continue
+                        e.closed = 2
+                        e.rev.closed = 2
+                        ret += 1
+                        break
+        return ret
+
+    def better_overlap(self, score_var: float) -> int:
+        """`b` (wtlay.c:186-260): mark all edges scoring below
+        (1-var) x the best score-per-overlap-base among above-average
+        edges; cut (closed=3) where BOTH an edge and its partner are
+        marked."""
+        for nid in range(self.n):
+            if self.dead[nid]:
+                continue
+            n = self.nodes[nid]
+            for d in (0, 1):
+                live = [e for e in n.edges[d] if not e.closed]
+                if len(live) < 2:
+                    continue
+                cutoff = sum(e.score for e in live) / len(live)
+                best = 0.0
+                for e in live:
+                    if e.score < cutoff:
+                        continue
+                    e.mark = 0
+                    s = e.score / max(1, self.edge_overlap(nid, e))
+                    if s > best:
+                        best = s
+                if best == 0:
+                    continue
+                for e in live:
+                    s = e.score / max(1, self.edge_overlap(nid, e))
+                    if s < (1 - score_var) * best:
+                        e.mark = 1
+        ret = 0
+        for nid in range(self.n):
+            if self.dead[nid]:
+                continue
+            for d in (0, 1):
+                for e in self.nodes[nid].edges[d]:
+                    if e.closed or not e.mark:
+                        continue
+                    if e.rev.mark:
+                        e.closed = 3
+                        e.rev.closed = 3
+                        ret += 1
+        return ret
+
+    def longest_overlap(self) -> int:
+        """`L` (wtlay.c:746-800): per node+dir keep only the longest
+        overlap (smallest off), unless a near-as-long edge scores >5%
+        better."""
+        ret = 0
+        for nid in range(self.n):
+            if self.dead[nid]:
+                continue
+            n = self.nodes[nid]
+            for d in (0, 1):
+                live = [e for e in n.edges[d] if not e.closed]
+                if not live:
+                    continue
+                best_off = int(self.rb.lengths[nid])
+                b = None
+                for e in live:
+                    if e.off < best_off:
+                        best_off = e.off
+                        b = e
+                if b is None:
+                    continue
+                best_off += 50
+                bestS, c = 0.0, None
+                for e in live:
+                    if e.off > best_off:
+                        continue
+                    if e.score > bestS:
+                        bestS = e.score
+                        c = e
+                if c is not b and b.score < 0.95 * bestS:
+                    b = c
+                for e in live:
+                    if e is not b:
+                        e.closed = 1
+                        ret += 1
+        self._rebuild_bogs()
+        return ret
+
+    def best_score_overlap(self) -> int:
+        """`S` (wtlay.c:700-744): mark all but the best-scoring edge per
+        node+dir; cut biedges where both sides are marked."""
+        for nid in range(self.n):
+            if self.dead[nid]:
+                continue
+            for d in (0, 1):
+                live = [e for e in self.nodes[nid].edges[d] if not e.closed]
+                if not live:
+                    continue
+                best = max(live, key=lambda e: e.score)
+                if best.score <= 0:
+                    continue
+                for e in live:
+                    e.mark = 0 if e is best else 1
+        ret = 0
+        for nid in range(self.n):
+            if self.dead[nid]:
+                continue
+            for d in (0, 1):
+                for e in self.nodes[nid].edges[d]:
+                    if e.closed or not e.mark or not e.rev.mark:
+                        continue
+                    e.closed = 1
+                    e.rev.closed = 1
+                    ret += 1
+        return ret
+
+    def mask_self_circle_reads(self) -> int:
+        """`O` (wtlay.c:462-493): mask reads with a >= len/3 overlap to
+        the SAME partner in both directions (collapsed tandem circles)."""
+        ret = 0
+        for nid in range(self.n):
+            if self.dead[nid]:
+                continue
+            n = self.nodes[nid]
+            ln = int(self.rb.lengths[nid])
+            fwd = {e.node_id for e in n.edges[0]
+                   if not e.closed and self.edge_overlap(nid, e) >= ln // 3}
+            hit = any(e.node_id in fwd for e in n.edges[1]
+                      if not e.closed and self.edge_overlap(nid, e) >= ln // 3)
+            if hit:
+                self.mask_node(nid)
+                ret += 1
+        return ret
+
+    def _rebuild_bogs(self):
+        for n in self.nodes:
+            n.bogs = [[[0, 0], [0, 0]], [[0, 0], [0, 0]]]
+        for nid in range(self.n):
+            if self.dead[nid]:
+                continue
+            for d in (0, 1):
+                for e in self.nodes[nid].edges[d]:
+                    if e.closed:
+                        continue
+                    one_way = 1 if e.rev.closed else 0
+                    self.nodes[nid].bogs[1][d][one_way] += 1
+                    self.nodes[e.node_id].bogs[0][e.dir][one_way] += 1
+
+    def bog_cut_tips(self, max_step: int = 10) -> int:
+        """`t` (wtlay.c:2106-2143): walk boldly up to max_step from pure
+        tip starts; cut where the walk hits a branching node."""
+        ret = 0
+        for ms in range(1, max_step + 1):
+            for nid in range(self.n):
+                if self.dead[nid]:
+                    continue
+                for d in (0, 1):
+                    n = self.nodes[nid]
+                    if (n.bogs[0][d][0] + n.bogs[0][d][1]
+                            + n.bogs[1][1 - d][1]):
+                        continue
+                    cur, cd = nid, d
+                    for _ in range(ms):
+                        e = self._bog_boldly_walk(cur, cd)
+                        if e is None:
+                            break
+                        n2 = self.nodes[e.node_id]
+                        if (n2.bogs[0][e.dir][0] + n2.bogs[0][e.dir][1]
+                                + n2.bogs[1][1 - e.dir][1]) != 1:
+                            ret += 1
+                            p = e.rev
+                            if e.closed == 0:
+                                self.cut_edge_bog(e)
+                            if p.closed == 0:
+                                self.cut_edge_bog(p)
+                                if (n2.bogs[e.dir][0] == 0
+                                        and n2.bogs[0][e.dir][1] == 1):
+                                    t = self.first_one_way_input_edge(
+                                        e.node_id, e.dir)
+                                    if t is not None:
+                                        self.repair_one_way_edge_bog(t)
+                            break
+                        cur, cd = e.node_id, e.dir
+        self.repair_all_lonely_one_way_edges()
+        return ret
+
+    def _bog_boldly_walk(self, nid, d):
+        n = self.nodes[nid]
+        if n.bogs[1][d][0] + n.bogs[1][d][1] != 1:
+            return None
+        return self.first_living_edge(nid, d)
+
+    def bog_tips_bubbles_loop(self) -> int:
+        """`M` (wtlay.c:3066-3088): alternate tip cutting, bubble
+        merging and dead-end recovery to fixpoint, then loops."""
+        total = self.bog_cut_tips(10)
+        while True:
+            n = self.merge_bubbles_bog()
+            if n == 0:
+                break
+            total += n
+            total += self.bog_cut_tips(10)
+            total += self.recover_paired_dead_ends()
+        while True:
+            n = self.merge_bubbles_bog() + self.cut_loops()
+            if n == 0:
+                break
+            total += n
+            total += self.bog_cut_tips(10)
+            total += self.recover_paired_dead_ends()
+        return total
+
+    # ------------------------------------------------------------------
     # unitig generation + output (wtlay.c:2331-2838)
     # ------------------------------------------------------------------
 
@@ -1319,11 +1564,42 @@ def run_lay(rb: ReadBank, overlaps, params: LayParams | None = None) -> StringGr
             log("wtlay: generated %d unitigs", n)
             n = g.recover_edges_inter_unitigs(p.best_score_cutoff)
             log("wtlay: recovered %d inter-unitig edges", n)
+        elif cmd == "T":
+            n = g.reduce_transitive()
+            log("wtlay: reduced %d transitive edges", n)
+        elif cmd == "b":
+            n = g.better_overlap(p.score_var)
+            log("wtlay: better_overlap cut %d bad edges", n)
+        elif cmd == "L":
+            n = g.longest_overlap()
+            log("wtlay: longest_overlap cut %d edges", n)
+        elif cmd == "S":
+            n = g.best_score_overlap()
+            log("wtlay: best_score cut %d edges", n)
+        elif cmd == "O":
+            n = g.mask_self_circle_reads()
+            log("wtlay: masked %d self circle reads", n)
+        elif cmd == "t":
+            n = g.bog_cut_tips(10)
+            log("wtlay: cut %d read tips", n)
+        elif cmd == "M":
+            n = g.bog_tips_bubbles_loop()
+            log("wtlay: tips/bubbles/loops fixpoint removed %d elements", n)
+        elif cmd == "X":
+            n = 0
+            for nid in range(g.n):
+                if not g.dead[nid]:
+                    n += g.mask_chimeric_node(nid)
+            log("wtlay: masked %d chimeric reads", n)
         elif cmd == "g":
             if p.dot_prefix:
                 dot_idx += 1
                 with open(f"{p.dot_prefix}.{dot_idx}.dot", "w") as fh:
                     g.write_dot(fh)
+        else:
+            raise ValueError(
+                f"unsupported wtlay -Q command {cmd!r} "
+                f"(supported: g C w B R U T b L S O t M X)")
     n = g.gen_unitigs_layout()
     log("wtlay: final %d unitigs", n)
     g.recover_edges_inter_unitigs(p.best_score_cutoff)

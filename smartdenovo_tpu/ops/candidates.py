@@ -208,37 +208,38 @@ def scan_candidates(
         return (z + seg_ol0[::64].sum() + seg_kq[::64].sum(), z, total,
                 probe_total)
     # merge the two strands of each (q, cand) by max ol (wtzmo.c:525-535):
-    # strands are adjacent in the packed key space (kq >> 1 strips dir)
+    # strands are adjacent in the packed key space (kq >> 1 strips dir),
+    # so every merge group has <= 2 SORTED-adjacent entries — pure
+    # elementwise neighbour max, no budget-wide scatters (the round-4
+    # segment_max + 2 scatter path cost ~300 ms/batch at this width)
     seg_qc = jnp.where(seg_kq == INT32_MAX, INT32_MAX, seg_kq >> 1)
+    nxt_qc = jnp.concatenate([seg_qc[1:], jnp.full(1, INT32_MAX, jnp.int32)])
+    nxt_ol = jnp.concatenate([seg_ol0[1:], jnp.zeros(1, jnp.int32)])
     m_new = jnp.concatenate([jnp.ones(1, bool), seg_qc[1:] != seg_qc[:-1]])
-    m_id = jnp.cumsum(m_new.astype(jnp.int32)) - 1
-    seg_ol = jax.ops.segment_max(seg_ol0, m_id, num_segments=n_seg)
-    m_first = jnp.where(m_new & (seg_kq != INT32_MAX), m_id, n_seg)
-    seg_qcm = (jnp.full(n_seg + 1, INT32_MAX, jnp.int32)
-               .at[m_first].set(seg_qc, mode="drop")[:n_seg])
-    seg_q = jnp.where(seg_qcm == INT32_MAX, Q, seg_qcm // (R2 // 2))
-    seg_c = jnp.where(seg_qcm == INT32_MAX, INT32_MAX, seg_qcm % (R2 // 2))
+    first_live = m_new & (seg_kq != INT32_MAX)
+    seg_ol = jnp.where(nxt_qc == seg_qc,
+                       jnp.maximum(seg_ol0, nxt_ol), seg_ol0)
+    seg_q = jnp.where(first_live, seg_qc // (R2 // 2), Q)
+    seg_c = jnp.where(first_live, seg_qc % (R2 // 2), INT32_MAX)
     # top-ncand per query: sort by (q, -ol, cand); ol < 2^23 (comp length)
     # packs with q into one key lane
-    seg_live = (seg_q < Q) & (seg_ol >= kovl)
+    seg_live = first_live & (seg_q < Q) & (seg_ol >= kovl)
     s12 = jnp.where(
         seg_live,
         (seg_q << 23) | (((1 << 23) - 1) - jnp.minimum(seg_ol, (1 << 23) - 1)),
         INT32_MAX)
     s3 = jnp.where(seg_live, seg_c, INT32_MAX)
     s12, s3 = jax.lax.sort((s12, s3), num_keys=2)
-    pos = jnp.arange(n_seg, dtype=jnp.int32)
-    live2 = s12 != INT32_MAX
-    s1 = jnp.where(live2, s12 >> 23, Q)
-    q_first = jnp.full(Q + 1, n_seg, jnp.int32).at[s1].min(pos, mode="drop")[:Q]
-    rank = pos - q_first[jnp.clip(s1, 0, Q - 1)]
-    sel = live2 & (rank < ncand)
-    row = jnp.where(sel, s1, Q)
-    col = jnp.where(sel, rank, 0)
-    cands = jnp.full((Q + 1, ncand), -1, jnp.int32).at[row, col].set(s3, mode="drop")[:Q]
-    ols = (
-        jnp.full((Q + 1, ncand), 0, jnp.int32)
-        .at[row, col]
-        .set(((1 << 23) - 1) - (s12 & ((1 << 23) - 1)), mode="drop")[:Q]
-    )
+    # per-query run starts via binary search on the sorted key lane,
+    # then a [Q, ncand] GATHER selects the top-ncand (no scatters)
+    qkeys = jnp.arange(Q, dtype=jnp.int32) << 23
+    q_first = jnp.searchsorted(s12, qkeys, side="left").astype(jnp.int32)
+    idx = q_first[:, None] + jnp.arange(ncand, dtype=jnp.int32)[None, :]
+    idxc = jnp.clip(idx, 0, n_seg - 1)
+    v12 = s12[idxc]
+    v3 = s3[idxc]
+    valid = ((idx < n_seg) & (v12 != INT32_MAX)
+             & ((v12 >> 23) == jnp.arange(Q, dtype=jnp.int32)[:, None]))
+    cands = jnp.where(valid, v3, -1)
+    ols = jnp.where(valid, ((1 << 23) - 1) - (v12 & ((1 << 23) - 1)), 0)
     return cands, ols, total, probe_total

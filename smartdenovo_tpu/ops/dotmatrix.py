@@ -1195,9 +1195,12 @@ def dot_matrix_align(
     # NBL == nbk nothing was truncated and the existing blk_total-vs-nbk
     # check already covers the budget edge
     if NBL < nbk:
-        blk_total = jnp.where(live_total > NBL - 2048,
-                              jnp.maximum(blk_total, jnp.int32(nbk + 1)),
-                              blk_total)
+        # report the REAL requirement (8x the live mass + slack) so one
+        # redispatch sizes nbk correctly instead of doubling per attempt
+        blk_total = jnp.where(
+            live_total > NBL - 2048,
+            jnp.maximum(blk_total, 8 * (live_total + 2048)),
+            blk_total)
     return DotMatrixResult(
         match_cnt=match_cnt,
         blk_total=blk_total,

@@ -119,17 +119,24 @@ def _make_kernel(T, OB, nt, mpr):
         aligned = (base_e // 128) * 128
         off = base_e - aligned
         k_of_j = ce - em + off
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (T2, T), 0)
-        sel = (is_em & (k_of_j == iota_k)).astype(jnp.bfloat16)
         lanes = (cnt2, pay_ref[:], aux_ref[:], base_val)
         limbs = []
         for v in lanes:
             limbs.extend(_split8(v))
         pack = jnp.concatenate(
             [b.astype(jnp.bfloat16) for b in limbs], axis=0)   # [16, T]
-        E2 = jax.lax.dot_general(
-            pack, sel, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # 128-row k-blocked selection keeps VMEM O(T), unlocking T > 1024
+        # (cf. ops/sseg.py — same total MACs as the single [T2, T] pass)
+        iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, T), 0)
+        E2 = jnp.concatenate([
+            jax.lax.dot_general(
+                pack,
+                (is_em & (k_of_j == (iota128 + kb * 128))).astype(
+                    jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for kb in range(T2 // 128)
+        ], axis=1)
 
         def comb(o):
             return (((E2[4 * o + 3: 4 * o + 4].astype(jnp.int32) * 256
@@ -219,9 +226,11 @@ def join_emitters(
     out_budget - tile - 128 as overflow and redispatch bigger.
     """
     N = key.shape[0]
-    # T is capped by VMEM: the one-hot extraction matrices are [T+128, T]
-    T = tile or 1024
+    # blocked extraction keeps VMEM O(T): default to 2048-wide tiles
+    # (halves the per-tile fixed overhead vs 1024) when the stream and
+    # budget allow
     OB = out_budget
+    T = tile or (2048 if N % 2048 == 0 and OB >= 2048 + 128 else 1024)
     assert N % T == 0 and OB >= T + 128 and OB % 128 == 0, (N, T, OB)
     nt = N // T
 

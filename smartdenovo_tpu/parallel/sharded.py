@@ -410,6 +410,18 @@ def overlap_sharded(rb, params=None, mesh: Mesh | None = None,
         )
         csorted = np.asarray(csorted)
         packed = np.asarray(packed)
+        # overflow check (ADVICE r4): the single-chip driver redispatches on
+        # these counters; here budgets are static per run (recompile cost),
+        # so surface truncation loudly instead of silently dropping overlaps
+        tmax = np.asarray(totals).max(axis=0).astype(np.int64)
+        nbk_budget = max(cross_budget // 4, 1 << 14)
+        if tmax[1] > cross_budget:
+            log("WARNING: sharded batch expansion %d exceeds budget %d; "
+                "matches dropped — raise batch_q shards or budgets",
+                int(tmax[1]), cross_budget)
+        if tmax[2] > nbk_budget - 2048:
+            log("WARNING: sharded batch block mass %d exceeds merge budget "
+                "%d; overlaps may be dropped", int(tmax[2]), nbk_budget)
         NP = Q * A * 2
         # pack rows in the single-chip emit layout
         pos = np.arange(NP, dtype=np.int64)

@@ -41,6 +41,12 @@ for _i, _c in enumerate(b"ACGT"):
 
 @dataclasses.dataclass
 class CnsParams:
+    seg_engine: bool = True    # segment-parallel align pass (ops/segdp.py);
+                               # falls back to the whole-read path for
+                               # units carrying f5q quality tracks.
+                               # Validated vs the whole-read path: same
+                               # accepted reads, same per-read m/coords,
+                               # equal truth-identity on sims
     n_iter: int = 6            # -n (reference default 6, wtcns.c)
     zsize: int = 10            # -z
     hz: bool = False           # -H (off by default in wtcns)
@@ -321,7 +327,7 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
             match=p.match, mismatch=p.mismatch, gap=p.gap,
             gap_a=ga, gap_b=gb, semiglobal_b=True,
         )
-        score = np.asarray(score)
+        score = np.array(score)    # writable: refine overwrites (below)
         cigs, b_begs = traceback_banded(dirs, base, alen, np.asarray(end_col))
         if p.refine:
             # affine re-alignment around the prior CIGAR (reference
@@ -347,12 +353,18 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
                             ((ops, counts), qv))
                 g[2].append(i)
             rpairs, rcigs, rmap = groups["plain"]
+            # iteration-dependent refine opens (reference wtcns.c:381:
+            # iter? I : O for both the main align and the refine)
             refined = refine_alignment_batch(
                 rpairs, rcigs, W_base=p.refine_w, match=p.match,
-                mismatch=p.mismatch, open_i=p.refine_open_i,
-                open_d=p.refine_open_d, ext=p.refine_ext)
+                mismatch=p.mismatch, open_i=ga,
+                open_d=gb, ext=p.refine_ext)
             for i, r in zip(rmap, refined):
                 cigs[i] = (r["ops"], r["counts"])
+                # the reference sorts DAG insertion by the REFINED affine
+                # score (wtcns.c:381 sets kswx from the refine result and
+                # :551 sorts by it) — report it, not the banded score
+                score[i] = r["score"]
             qpairs, qmeta, qmap = groups["qv"]
             if qpairs:
                 refined = refine5q_alignment_batch(
@@ -373,6 +385,304 @@ def _align_pass(unit: LayUnitig, offs, cns, p: CnsParams, ga: int, gb: int):
             yield ridx[i], int(score[i]), beg, end, ra, rb_
 
 
+# ---- segment-parallel align pass (ops/segdp.py) --------------------------
+#
+# Replaces the whole-read banded pass for consensus iterations: reads are
+# cut into SEGR-row segments overlapping by OVL, all segments form one
+# [C, Bc] grid, and ONE kernel dispatch per iteration runs the affine
+# banded DP + traceback for every segment (reference analogue: the
+# zmer-window piecewise alignment of aln_read_wtcns, wtcns.c:286-434).
+# The host stitches segment alignments at a row where adjacent segments
+# pass through the same consensus column.
+
+SEGR = 2048       # rows (read bases) per segment
+S_OVL = 256       # stitch overlap rows between adjacent segments
+S_STRIDE = SEGR - 2 * S_OVL
+S_LBW = 3072      # consensus window length per segment
+S_W = 256         # band width
+S_T = 3072        # traceback budget (moves per segment)
+S_WMARG = (S_LBW - SEGR) // 2   # window slack each side
+
+
+class _SegState:
+    """Per-unit device bank + per-read consensus column maps."""
+
+    def __init__(self, unit: LayUnitig):
+        lens = np.array([len(r) for r in unit.reads], np.int64)
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        from .zmo import pad_pow2 as _pp2
+
+        flat = np.full(_pp2(int(offs[-1]) + SEGR + 8), 4, np.uint8)
+        for i, r in enumerate(unit.reads):
+            flat[offs[i]: offs[i] + len(r)] = r
+        self.lens = lens
+        self.flat_offs = offs
+        self.reads_d = jnp.asarray(flat)
+        self.flat = flat
+        # colmap16[i]: int32 cns column at read rows 0,16,32,... (absolute)
+        self.colmap16: list = [None] * len(lens)
+
+    def remap(self, mp: np.ndarray):
+        for i, c in enumerate(self.colmap16):
+            if c is not None:
+                self.colmap16[i] = mp[np.clip(c, 0, len(mp) - 1)].astype(np.int64)
+
+    def reset_colmap(self, rid: int, off: int):
+        n16 = int(self.lens[rid]) // 16 + 2
+        self.colmap16[rid] = off + np.arange(n16, dtype=np.int64) * 16
+
+
+def _seed_colmaps(unit, st: _SegState, offs, cns, p: CnsParams,
+                  batch: int = 512):
+    """Probe-anchor reads lacking a column map (iteration 0 / failures)."""
+    need = [i for i, c in enumerate(st.colmap16) if c is None]
+    for b0 in range(0, len(need), batch):
+        ridx = need[b0: b0 + batch]
+        reads = [unit.reads[i] for i in ridx]
+        wstarts, windows, doffs = [], [], []
+        for i in ridx:
+            ws = max(0, offs[i] - p.win_margin)
+            we = min(len(cns), offs[i] + len(unit.reads[i]) + p.win_margin)
+            if we <= ws:
+                ws, we = 0, min(len(cns), len(unit.reads[i]) + 2 * p.win_margin)
+            wstarts.append(ws)
+            windows.append(cns[ws:we])
+            doffs.append(offs[i] - ws)
+        anchors = _anchor_reads(reads, windows, p, doffs)
+        for i, ws, anc in zip(ridx, wstarts, anchors):
+            rl = int(st.lens[i])
+            rows16 = np.arange(rl // 16 + 2, dtype=np.int64) * 16
+            if not anc:
+                st.reset_colmap(i, offs[i])
+                continue
+            xs = np.array([a for a, _ in anc], np.int64)
+            ys = np.array([b for _, b in anc], np.int64) + ws
+            xs, ui = np.unique(xs, return_index=True)
+            ys = ys[ui]
+            c = np.interp(rows16, xs, ys)
+            # extrapolate the chain diagonal past the terminal anchors
+            lo, hi = rows16 < xs[0], rows16 > xs[-1]
+            c[lo] = ys[0] - (xs[0] - rows16[lo])
+            c[hi] = ys[-1] + (rows16[hi] - xs[-1])
+            st.colmap16[i] = c.astype(np.int64)
+
+
+def _build_segments(st: _SegState, nreads: int, Lc: int):
+    """Segment every read; returns packed numpy arrays + per-read spans."""
+    NB = SEGR // 16 + 2
+    rows = []   # (rid, r0, alen, w0, blen)
+    b16s = []
+    spans = []  # per read: (first_seg_idx, n_segs, [r0 list])
+    for i in range(nreads):
+        rl = int(st.lens[i])
+        if rl < 64:
+            spans.append((len(rows), 0, []))
+            continue
+        c16 = st.colmap16[i]
+        grid = np.arange(len(c16), dtype=np.int64) * 16
+        S = 1 if rl <= SEGR else int(np.ceil((rl - SEGR) / S_STRIDE)) + 1
+        first = len(rows)
+        r0s = []
+        for s in range(S):
+            r0 = min(s * S_STRIDE, max(0, rl - SEGR))
+            alen = min(SEGR, rl - r0)
+            segrows = r0 + np.arange(NB, dtype=np.int64) * 16
+            center = np.interp(segrows, grid, c16)
+            w0 = int(np.clip(center[0] - S_WMARG, 0, max(0, Lc - 1)))
+            blen = int(np.clip(Lc - w0, 0, S_LBW))
+            b16 = np.clip(center - w0 - S_W // 2, 0, S_LBW - 1)
+            rows.append((i, r0, alen, w0, blen))
+            b16s.append(b16.astype(np.int16))
+            r0s.append(r0)
+        spans.append((first, S, r0s))
+    return rows, b16s, spans
+
+
+def _cigar_pieces(mv, bbeg):
+    """Per-move row/col cursors for one segment's forward move array."""
+    is_row = mv != 2          # M/I consume a read row
+    is_col = mv != 1          # M/D consume a consensus column
+    rowb = np.cumsum(is_row) - is_row         # rows before each move
+    colb = bbeg + np.cumsum(is_col) - is_col  # cols before each move
+    rowmove_idx = np.nonzero(is_row)[0]
+    return rowb, colb, rowmove_idx
+
+
+def _seg_align_pass(unit: LayUnitig, st: _SegState, offs, cns,
+                    p: CnsParams, ga: int, gb: int):
+    """One-dispatch alignment of every read against the current consensus.
+
+    Yields (rid, score, beg, end, ra, rb) with the same contract as
+    _align_pass."""
+    from ..ops.segdp import seg_align_tb, unpack_moves
+
+    nreads = len(unit.reads)
+    Lc = len(cns)
+    _seed_colmaps(unit, st, offs, cns, p)
+    rows, b16s, spans = _build_segments(st, nreads, Lc)
+    if not rows:
+        return
+    Bc = 512
+    Nseg = len(rows)
+    # quarter-pow2 chunk tiers + pow2 consensus tiers: iteration-varying
+    # shapes otherwise recompile the kernel EVERY iteration (~20-40 s)
+    C = (Nseg + Bc - 1) // Bc
+    Ct = 1
+    while Ct < C:
+        Ct = Ct + max(1, Ct // 4)
+    C = Ct
+    NB = SEGR // 16 + 2
+    arr = np.zeros((C * Bc, 5), np.int64)
+    arr[:Nseg] = np.asarray(rows, np.int64)
+    b16 = np.zeros((C * Bc, NB), np.int16)
+    b16[:Nseg] = np.stack(b16s)
+    seg_aoff = (st.flat_offs[arr[:, 0]] + arr[:, 1]).astype(np.int32)
+    seg_alen = arr[:, 2].astype(np.int32)
+    seg_alen[Nseg:] = 0
+    from .zmo import pad_pow2 as _pp2
+
+    cns_pad = np.full(_pp2(Lc + S_LBW + 8), 4, np.uint8)
+    cns_pad[:Lc] = cns
+    open_i, open_d = ga, gb
+    score, b_beg, b_end, mvp = seg_align_tb(
+        st.reads_d, jnp.asarray(cns_pad),
+        jnp.asarray(seg_aoff.reshape(C, Bc)),
+        jnp.asarray(seg_alen.reshape(C, Bc)),
+        jnp.asarray(arr[:, 3].astype(np.int32).reshape(C, Bc)),
+        jnp.asarray(arr[:, 4].astype(np.int32).reshape(C, Bc)),
+        jnp.asarray(b16.reshape(C, Bc, NB)),
+        SEGR=SEGR, LBW=S_LBW, W=S_W, T=S_T,
+        match=p.match, mismatch=p.mismatch,
+        open_i=open_i, open_d=open_d, ext=p.refine_ext)
+    score = np.asarray(score).reshape(-1)
+    b_beg = np.asarray(b_beg).reshape(-1)
+    mv_all = unpack_moves(np.asarray(mvp)).transpose(0, 2, 1).reshape(
+        C * Bc, -1)   # [seg, T] backward streams
+    fallbacks = 0
+    for rid in range(nreads):
+        first, S, r0s = spans[rid]
+        if S == 0:
+            continue
+        rl = int(st.lens[rid])
+        segs = []
+        ok = True
+        for s in range(S):
+            gi = first + s
+            mv = mv_all[gi]
+            mv = mv[mv != 3][::-1].astype(np.int8)
+            nrow = int(np.sum(mv != 2))
+            if nrow != int(arr[gi, 2]):
+                ok = False
+                break
+            rowb, colb, rmi = _cigar_pieces(mv, int(arr[gi, 3] + b_beg[gi]))
+            segs.append((mv, rowb, colb, rmi, r0s[s]))
+        if not ok or not segs:
+            st.colmap16[rid] = None   # reseed next iteration
+            continue
+        pieces = []
+        cut_prev = 0       # global read row where the kept span starts
+        head_fix = 0       # columns the next piece must shed (cutc2 < cutc)
+        for s in range(S):
+            mv, rowb, colb, rmi, r0 = segs[s]
+            if s + 1 < S:
+                mv2, rowb2, colb2, rmi2, r02 = segs[s + 1]
+                zlo, zhi = r02, r0 + int(arr[first + s, 2])
+                zl = np.arange(max(zlo, cut_prev + 1), zhi, dtype=np.int64)
+                if zl.size == 0:
+                    ok = False
+                    break
+                cl = colb[rmi[zl - r0]]
+                cr = colb2[rmi2[zl - r02]]
+                eq = np.nonzero(cl == cr)[0]
+                mid = zl.size // 2
+                if eq.size:
+                    pick = eq[np.argmin(np.abs(eq - mid))]
+                    cut, cutc, cutc2 = int(zl[pick]), int(cl[pick]), int(cl[pick])
+                else:
+                    fallbacks += 1
+                    pick = int(np.argmin(np.abs(cl - cr) + np.abs(
+                        np.arange(zl.size) - mid) // 8))
+                    cut, cutc, cutc2 = int(zl[pick]), int(cl[pick]), int(cr[pick])
+            else:
+                cut, cutc, cutc2 = rl, None, None
+            lo = rmi[cut_prev - r0] if cut_prev - r0 < len(rmi) else len(mv)
+            hi = rmi[cut - r0] if cut - r0 < len(rmi) else len(mv)
+            piece = mv[lo:hi]
+            if head_fix > 0:
+                # previous junction left the right side behind by head_fix
+                # columns: shed that many col-consuming moves from this
+                # piece's head (M -> I keeps the row count intact)
+                piece = piece.copy()
+                shed = 0
+                for t in range(len(piece)):
+                    if shed >= head_fix:
+                        break
+                    if piece[t] == 0:
+                        piece[t] = 1
+                        shed += 1
+                    elif piece[t] == 2:
+                        piece[t] = -1   # mark dropped
+                        shed += 1
+                piece = piece[piece >= 0]
+                head_fix -= shed
+                if head_fix > 0:      # piece too short to reconcile
+                    ok = False
+                    break
+            pieces.append(piece)
+            if s + 1 < S and cutc2 != cutc:
+                if cutc2 > cutc:      # bridge the gap with deletions
+                    pieces.append(np.full(cutc2 - cutc, 2, np.int8))
+                else:
+                    head_fix = cutc - cutc2
+            cut_prev = cut
+        if not ok:
+            st.colmap16[rid] = None
+            continue
+        mvf = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+        beg = int(arr[first, 3] + b_beg[first])
+        is_row = mvf != 2
+        is_col = mvf != 1
+        nrow = int(is_row.sum())
+        if nrow != rl:
+            st.colmap16[rid] = None
+            continue
+        end = beg + int(is_col.sum())
+        if end > Lc:        # clip pathological overrun
+            st.colmap16[rid] = None
+            continue
+        rcodes = st.flat[st.flat_offs[rid]: st.flat_offs[rid] + rl]
+        rowi = np.cumsum(is_row) - 1
+        coli = beg + np.cumsum(is_col) - 1
+        ra = np.where(is_row, rcodes[np.clip(rowi, 0, rl - 1)], 4).astype(np.uint8)
+        rb_ = np.where(is_col, cns_pad[np.clip(coli, 0, Lc - 1)], 4).astype(np.uint8)
+        ra[~is_row] = 4
+        rb_[~is_col] = 4
+        # affine score of the stitched alignment (kswx conventions)
+        msk = mvf == 0
+        sc = int(np.sum(np.where(ra[msk] == rb_[msk], p.match, p.mismatch)))
+        run_start = np.empty(len(mvf), bool)
+        run_start[0] = True
+        np.not_equal(mvf[1:], mvf[:-1], out=run_start[1:])
+        n_i = int(np.sum(mvf == 1))
+        n_d = int(np.sum(mvf == 2))
+        o_i = int(np.sum(run_start & (mvf == 1)))
+        o_d = int(np.sum(run_start & (mvf == 2)))
+        sc += o_i * open_i + n_i * p.refine_ext
+        sc += o_d * open_d + n_d * p.refine_ext
+        # refresh the column map from this alignment (rows stride 16):
+        # col BEFORE each row move (M consumed its col: coli; I did not:
+        # coli points at the previous consumed col, so +1)
+        rowmove_cols = coli[is_row] + (mvf[is_row] == 1)
+        c16 = rowmove_cols[::16]
+        st.colmap16[rid] = np.concatenate(
+            [c16, [end, end + 16]]).astype(np.int64)
+        yield rid, sc, beg, end, ra, rb_
+    if fallbacks:
+        log("cns %s: %d stitch fallbacks (no shared column in overlap)",
+            unit.name, fallbacks)
+
+
 def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
                      return_offs: bool = False):
     """Iterative DAG consensus for one unitig; returns consensus codes
@@ -383,6 +693,11 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
     offs = list(unit.offs)
     if len(cns) == 0:
         return (cns, offs) if return_offs else cns
+    # engine: segment-parallel unless the unit carries f5q quality tracks
+    # (the quality-aware refine runs on the whole-read path)
+    use_seg = p.seg_engine and not (p.use_qv and unit.quals
+                                    and any(q is not None for q in unit.quals))
+    st = _SegState(unit) if use_seg else None
     # convergence guard: agreement = total read bases matching the current
     # backbone, a penalty-independent quality metric.  If an iteration's
     # backbone agrees with the reads less than the previous one did, the
@@ -399,9 +714,16 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
         # reference wtcns: -O in round 1, asymmetric -I/-D afterwards
         ga = p.gap if it == 0 else p.gap_ins
         gb = p.gap if it == 0 else p.gap_del
-        for rid, sc, beg, end, ra, rb_ in _align_pass(unit, offs, cns, p, ga, gb):
+        itr = (_seg_align_pass(unit, st, offs, cns, p, ga, gb) if use_seg
+               else _align_pass(unit, offs, cns, p, ga, gb))
+        for rid, sc, beg, end, ra, rb_ in itr:
             m = int(np.sum((ra == rb_) & (ra != 4)))
-            if m < p.min_id * max(len(unit.reads[rid]), int(np.sum(rb_ != 4))):
+            # reference acceptance (wtcns.c:347-357): mat >= min_id * aln
+            # AND mat >= min_id * projected read overlap — the aln-columns
+            # test is what rejects junk alignments whose semiglobal span
+            # shrank (mat/span alone lets them pollute the DAG)
+            if (m < p.min_id * ra.shape[0]
+                    or m < p.min_id * len(unit.reads[rid])):
                 continue
             pending.append((sc, beg, end, rb_, ra, rid))
             agree += m
@@ -428,6 +750,8 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
             for i in range(nreads):
                 o = min(max(0, offs[i]), len(mp) - 1)
                 offs[i] = int(mp[o])
+            if st is not None:
+                st.remap(np.asarray(mp))
         log("cns %s iter %d: %d reads aligned, len %d -> %d, score %.1f",
             unit.name, it + 1, len(pending), len(cns), len(new_cns), dag_score)
         cns = new_cns

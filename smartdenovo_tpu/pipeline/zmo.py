@@ -755,8 +755,26 @@ def _emit_batch_dm(rb, p, rids, row, csorted, Q, A, rdcovs, rdmask, overlaps,
                    emitted_pairs, pre_pairs, attempted_out, avg_len, pd=None):
     """Host-side combine (vectorised): dir choice, ztot gate, ledger, dedup.
 
-    pd: dense pair-row width of the packed result arrays (None = the full
-    positional Q*A*2 layout used by the sharded/gpass drivers)."""
+    Split into a stateless vector EXTRACTION and a sequential acceptance
+    REPLAY so the multihost driver can extract per host and replay the
+    merged candidate stream identically on every process (VERDICT r4
+    weak #10).  pd: dense pair-row width of the packed result arrays
+    (None = the full positional Q*A*2 layout of the sharded drivers)."""
+    cand_arr, att_arr = _extract_candidates_dm(
+        rb, p, rids, row, csorted, Q, A, avg_len, pd=pd)
+    _replay_dm(rb, p, cand_arr, att_arr, rdcovs, rdmask, overlaps,
+               emitted_pairs, pre_pairs, attempted_out, avg_len)
+
+
+def _extract_candidates_dm(rb, p, rids, row, csorted, Q, A, avg_len,
+                           pd=None, q0=0):
+    """Stateless vector phase: returns (cand_arr [n, 11], att_arr [m, 4]).
+
+    cand_arr rows: (q_order, qrid, qlen, cand, score, dir, tb, te, qb,
+    qe, ol), sorted by (q_order asc, score desc) — the sequential
+    emission order.  att_arr rows: (q_order, qrid, qlen, cand) for every
+    attempted (ztot-passing) pair.  q0 offsets the batch-local query
+    index into the global order (per-host extraction)."""
     n = len(rb)
     NP = Q * A * 2
     W = NP if pd is None else pd
@@ -795,28 +813,49 @@ def _emit_batch_dm(rb, p, rids, row, csorted, Q, A, rdcovs, rdmask, overlaps,
         & (w_best >= p.min_score)
         & (w_best >= (p.min_id * ol).astype(np.int64))
     )
-    # the reference skips whole queries that already reached nbest
-    # (qskip, wtzmo.c:806) — replayed here at batch granularity
-    nbest_arr = np.array([_nbest_of(p, lens[i], avg_len) for i in range(Q)])
-    qdead = rdcovs[rids] >= nbest_arr
-    ok &= ~qdead[:, None]
-    attempted_mask &= ~qdead[:, None]
-    qrid_of = rids[:, None] * np.ones((1, A), np.int64)
-    att_q = qrid_of[attempted_mask].astype(int)
-    att_c = csorted[attempted_mask].astype(int)
-    attempted_now = set()
-    for a, b in zip(att_q.tolist(), att_c.tolist()):
-        if a != b and (min(a, b), max(a, b)) not in pre_pairs:
-            attempted_now.add((a, b))
-    # iterate accepted hits in (query, chain-score desc) order like the
-    # reference candidate processing order
     qs, ss = np.nonzero(ok)
     order = np.lexsort((-w_best[qs, ss], qs))
-    for t in order:
-        qi, slot = int(qs[t]), int(ss[t])
-        qrid = int(rids[qi])
-        cand = int(csorted[qi, slot])
-        if cand == qrid:
+    qs, ss = qs[order], ss[order]
+    cand_arr = np.stack([
+        qs + q0, rids[qs], lens[qs], csorted[qs, ss], w_best[qs, ss],
+        d_best[qs, ss], tb[qs, ss], te[qs, ss], qb[qs, ss], qe[qs, ss],
+        ol[qs, ss],
+    ], axis=1).astype(np.int64) if qs.size else np.zeros((0, 11), np.int64)
+    aq, as_ = np.nonzero(attempted_mask)
+    att_arr = np.stack([
+        aq + q0, rids[aq], lens[aq], csorted[aq, as_],
+    ], axis=1).astype(np.int64) if aq.size else np.zeros((0, 4), np.int64)
+    return cand_arr, att_arr
+
+
+def _replay_dm(rb, p, cand_arr, att_arr, rdcovs, rdmask, overlaps,
+               emitted_pairs, pre_pairs, attempted_out, avg_len):
+    """Sequential acceptance over the (merged) candidate stream.
+
+    Applies the batch-start coverage gate (qdead — the reference skips
+    queries that reached nbest, wtzmo.c:806), within-batch attempted
+    bookkeeping, dedup, and coverage updates — identical no matter how
+    the extraction was partitioned."""
+    # evaluate the coverage gate for every query UP FRONT, against the
+    # batch-START coverage (the original vectorized semantics): queries
+    # gaining coverage as candidates mid-batch must not flip to dead
+    qdead_cache: dict = {}
+    for arr in (att_arr, cand_arr):
+        for r in arr[:, :3].tolist():
+            if r[1] not in qdead_cache:
+                qdead_cache[r[1]] = rdcovs[r[1]] >= _nbest_of(
+                    p, r[2], avg_len)
+
+    def qdead(qrid, qlen):
+        return qdead_cache[qrid]
+
+    attempted_now = set()
+    for qo, qrid, qlen, cand in att_arr.tolist():
+        if qrid != cand and not qdead(qrid, qlen) \
+                and (min(qrid, cand), max(qrid, cand)) not in pre_pairs:
+            attempted_now.add((qrid, cand))
+    for qo, qrid, qlen, cand, sc, dr, tb, te, qb, qe, o in cand_arr.tolist():
+        if cand == qrid or qdead(qrid, qlen):
             continue
         key = (min(qrid, cand), max(qrid, cand))
         if key in pre_pairs or key in emitted_pairs:
@@ -824,18 +863,14 @@ def _emit_batch_dm(rb, p, rids, row, csorted, Q, A, rdcovs, rdmask, overlaps,
         if (cand, qrid) in attempted_now and cand < qrid:
             continue
         emitted_pairs.add(key)
-        qlen = int(lens[qi])
         clen = int(rb.lengths[cand])
-        sc = int(w_best[qi, slot])
-        o = int(ol[qi, slot])
         overlaps.append(Overlap(
-            rid1=qrid, dir1=0, beg1=int(tb[qi, slot]), end1=int(te[qi, slot]),
-            rid2=cand, dir2=int(d_best[qi, slot]),
-            beg2=int(qb[qi, slot]), end2=int(qe[qi, slot]),
+            rid1=qrid, dir1=0, beg1=tb, end1=te,
+            rid2=cand, dir2=dr, beg2=qb, end2=qe,
             score=sc, identity=sc / o, mat=sc, mis=0, ins=0, dl=0, aln=o,
         ))
-        x1 = min(int(tb[qi, slot]), int(qb[qi, slot]))
-        x2 = min(qlen - int(te[qi, slot]), clen - int(qe[qi, slot]))
+        x1 = min(tb, qb)
+        x2 = min(qlen - te, clen - qe)
         if x1 + x2 <= p.max_unalign_dovetail:
             rdcovs[qrid] += 1
             rdcovs[cand] += 1

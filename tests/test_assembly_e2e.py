@@ -9,6 +9,8 @@ with a layout whose read order is consistent with true genome positions.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # module fixture is the cost; fast gate skips
+
 from smartdenovo_tpu.data.readbank import ReadBank
 from smartdenovo_tpu.graph.clip import ClpParams
 from smartdenovo_tpu.graph.stringgraph import LayParams

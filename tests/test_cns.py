@@ -44,6 +44,7 @@ def unit_and_truth():
     return LayUnitig(name="utg0", reads=reads, offs=offs, backbone=bb), truth
 
 
+@pytest.mark.slow
 def test_backbone_identity_baseline(unit_and_truth):
     unit, truth = unit_and_truth
     from smartdenovo_tpu.pipeline.cns import _gen_backbone
@@ -53,6 +54,7 @@ def test_backbone_identity_baseline(unit_and_truth):
     assert 0.80 < ident < 0.95  # raw uncorrected backbone
 
 
+@pytest.mark.slow
 def test_consensus_improves_identity(unit_and_truth):
     unit, truth = unit_and_truth
     p = CnsParams(n_iter=3, batch_reads=16)

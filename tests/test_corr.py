@@ -1,6 +1,7 @@
 """DBG correction (wtcorr) tests."""
 
 import numpy as np
+import pytest
 
 from smartdenovo_tpu.data.readbank import ReadBank, codes_to_seq
 from smartdenovo_tpu.pipeline.corr import CorrParams, run_corr, join_fragments
@@ -13,6 +14,7 @@ def _identity(x, y):
     return SequenceMatcher(None, codes_to_seq(x), codes_to_seq(y), autojunk=False).ratio()
 
 
+@pytest.mark.slow
 def test_dbg_correction_improves_reads():
     rng = np.random.default_rng(61)
     genome = random_genome(rng, 20000)

@@ -111,13 +111,16 @@ def test_snv_calling():
     g = DagCns()
     bb = seq_to_codes("ACGTACGTACGT")
     g.set_backbone(bb)
-    # half the reads carry a G->T substitution at index 6; polish splits
-    # the mismatch column into del+ins, creating the alt bridge node
+    # half the reads carry a G->C substitution at index 6; polish splits
+    # the mismatch column into del+ins, creating the alt bridge node.
+    # (A G->T variant would left-shift into the adjacent backbone T and
+    # become a skip+insertion instead of a bridge — reference
+    # _polish_pairwise_aln_dagcns behavior on del-first split rows.)
     for i in range(8):
         if i % 2 == 0:
             a0, a1 = _aln_from_strings("ACGTACGTACGT", "ACGTACGTACGT")
         else:
-            a0, a1 = _aln_from_strings("ACGTACGTACGT", "ACGTACTTACGT")
+            a0, a1 = _aln_from_strings("ACGTACGTACGT", "ACGTACCTACGT")
         g.add_alignment(0, 12, a0, a1)
     g.merge_nodes()
     cns, mp, score = g.consensus()

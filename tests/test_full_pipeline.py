@@ -47,6 +47,6 @@ def test_full_pipeline_consensus_identity():
     from smartdenovo_tpu.data.readbank import revcomp_codes
 
     ident = max(_identity(big, g), _identity(revcomp_codes(big), g))
-    # round-1 bar; the refine-alignment polish pass (kswx refine
-    # equivalent) should push this toward the reference's 99.7%
-    assert ident > 0.94, f"consensus-vs-genome identity {ident:.4f}"
+    # the engine demonstrably reaches >=99% at 16x (PARITY_r04/r05);
+    # anything below hides a regression (VERDICT r4 weak #5)
+    assert ident > 0.99, f"consensus-vs-genome identity {ident:.4f}"

@@ -138,6 +138,7 @@ def test_matchers_agree(small_assembly_input, matcher):
     assert jac >= 0.99, f"{matcher}: jaccard {jac:.4f} ({len(mine)} vs {len(base)})"
 
 
+@pytest.mark.slow
 def test_gparts_multipass_matches_single_pass():
     """-G read-block multi-pass (wtzmo.c:1276-1303): 1/G of the index
     resident per pass; candidate merge is exact, the per-pass frequency

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # module fixture is the cost; fast gate skips
+
 from smartdenovo_tpu.data.readbank import ReadBank
 from smartdenovo_tpu.pipeline.zmo import ZmoParams, overlap_reads
 from smartdenovo_tpu.utils.simulate import random_genome, simulate_reads

@@ -35,6 +35,7 @@ def oracle(cnt, pay, aux, base, pb):
     return cg, av, bv, pos
 
 
+@pytest.mark.slow
 def test_join_phase3_pallas_matches_fill():
     """The streaming kernel is an exact replacement: the join matcher's
     overlap output must be identical record-for-record under both

@@ -9,6 +9,8 @@ the pair set must EQUAL the single-chip `overlap_dmo` pair set.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # module fixture is the cost; fast gate skips
+
 import jax
 
 from smartdenovo_tpu.data.readbank import ReadBank

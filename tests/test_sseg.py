@@ -78,6 +78,7 @@ def test_first_lane_neutral_and_overflow():
     assert (got[0, :4] == 0).all()
 
 
+@pytest.mark.slow
 def test_dm_segk_pallas_matches_fill():
     """The streaming segment-reduce is an exact replacement: the
     overlapper's output must be identical record-for-record under both
