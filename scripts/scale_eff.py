@@ -44,32 +44,44 @@ def main():
     genome = random_genome(rng, 60_000)
     names, seqs = simulate_reads(genome, coverage=8, mean_len=4000, err=0.12,
                                  seed=78)
+    from smartdenovo_tpu.pipeline.zmo import overlap_dmo
+
     rb = ReadBank(names, seqs)
     p = ZmoParams.dmo(batch_q=16)
     report = {"reads": len(rb), "bases": int(rb.total_bases)}
     pairs = {}
-    for nd in (1, 8):
-        devs = jax.devices()[:nd]
-        mesh = make_overlap_mesh(devs)
-        t0 = time.time()
-        ovls = overlap_sharded(rb, p, mesh=mesh, progress=False)
-        cold = time.time() - t0
-        t0 = time.time()
-        ovls = overlap_sharded(rb, p, mesh=mesh, progress=False)
-        warm = time.time() - t0
-        pairs[nd] = {frozenset((o.rid1, o.rid2)) for o in ovls}
-        report[f"mesh_{nd}dev"] = {
-            "shape": list(mesh.devices.shape), "overlaps": len(ovls),
-            "cold_s": round(cold, 1), "warm_s": round(warm, 1)}
-        print(f"[scale] {nd} devices {mesh.devices.shape}: "
-              f"{len(ovls)} overlaps, warm {warm:.1f}s", flush=True)
+    # 1-device baseline = the single-chip pipeline (the program the mesh
+    # version must not lose to); 8 devices = the sharded mesh program
+    t0 = time.time()
+    ovls = overlap_dmo(rb, p, progress=False)
+    cold = time.time() - t0
+    t0 = time.time()
+    ovls = overlap_dmo(rb, p, progress=False)
+    warm1 = time.time() - t0
+    pairs[1] = {frozenset((o.rid1, o.rid2)) for o in ovls}
+    report["single_chip"] = {"overlaps": len(ovls), "cold_s": round(cold, 1),
+                             "warm_s": round(warm1, 1)}
+    print(f"[scale] single-chip: {len(ovls)} overlaps, warm {warm1:.1f}s",
+          flush=True)
+    mesh = make_overlap_mesh(jax.devices())
+    t0 = time.time()
+    ovls = overlap_sharded(rb, p, mesh=mesh, progress=False)
+    cold = time.time() - t0
+    t0 = time.time()
+    ovls = overlap_sharded(rb, p, mesh=mesh, progress=False)
+    warm8 = time.time() - t0
+    pairs[8] = {frozenset((o.rid1, o.rid2)) for o in ovls}
+    report["mesh_8dev"] = {
+        "shape": list(mesh.devices.shape), "overlaps": len(ovls),
+        "cold_s": round(cold, 1), "warm_s": round(warm8, 1)}
+    print(f"[scale] 8-dev mesh {mesh.devices.shape}: "
+          f"{len(ovls)} overlaps, warm {warm8:.1f}s", flush=True)
     report["pairs_equal"] = pairs[1] == pairs[8]
-    report["warm_ratio_1_over_8"] = round(
-        report["mesh_1dev"]["warm_s"] / max(1e-9, report["mesh_8dev"]["warm_s"]), 3)
+    report["warm_ratio_single_over_mesh"] = round(warm1 / max(1e-9, warm8), 3)
     out = os.path.join(ROOT, "work", "scale_eff.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
-    print("[scale] wrote", out, report["warm_ratio_1_over_8"],
+    print("[scale] wrote", out, report["warm_ratio_single_over_mesh"],
           "pairs_equal", report["pairs_equal"])
 
 

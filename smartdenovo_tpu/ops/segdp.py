@@ -45,14 +45,11 @@ MV_M, MV_I, MV_D, MV_NONE = 0, 1, 2, 3
                      "open_i", "open_d", "ext"),
 )
 def seg_align_tb(
-    reads,       # [F] uint8 flat read bank (device-resident across iters;
-                 #     padded by >= SEGR trailing sentinel bases)
-    cns,         # [Lc] uint8 current consensus (padded by >= LBW with 4s)
-    seg_aoff,    # [C, Bc] int32 flat offset of this segment's first row
-    seg_alen,    # [C, Bc] int32 rows in this segment (<= SEGR)
-    seg_w0,      # [C, Bc] int32 window origin in cns
-    seg_blen,    # [C, Bc] int32 window length (<= LBW)
-    seg_b16,     # [C, Bc, NB] int16 band base rel. to w0, sampled stride 16
+    seg_a,       # [Bc, SEGR] uint8 read segment codes (4 = pad)
+    seg_b,       # [Bc, LBW] uint8 consensus window codes (4 = pad)
+    seg_alen,    # [Bc] int32 rows in this segment (<= SEGR)
+    seg_blen,    # [Bc] int32 window length (<= LBW)
+    seg_b16,     # [Bc, NB] int16 band base rel. to w0, sampled stride 16
     *,
     SEGR: int,
     LBW: int,
@@ -64,23 +61,19 @@ def seg_align_tb(
     open_d: int = -3,
     ext: int = -1,
 ):
-    """Returns (score [C,Bc], b_beg [C,Bc], b_end [C,Bc], mvp [C,Tp,Bc]).
+    """Returns (score [Bc], b_beg [Bc], b_end [Bc], mvp [Tp, Bc]).
 
     mvp packs 4 two-bit move codes per byte along the T axis, stream
     stored backwards from (alen, b_end); code 3 = past the start.
-    b_beg/b_end are window-relative columns."""
-    C, Bc = seg_aoff.shape
+    b_beg/b_end are window-relative columns.  One dispatch per chunk —
+    the outer chunk loop lives in the caller (a multi-chunk lax.scan
+    crashed the remote TPU worker at genome scale)."""
+    Bc = seg_alen.shape[0]
     lanes = jnp.arange(W, dtype=jnp.int32)[None, :]
     ext_ = jnp.int32(ext)
     Tp = T // 4
 
-    def chunk(carry, xs):
-        aoff, alen, w0, blen, b16 = xs
-        # materialize this chunk's segments + windows from the flat banks
-        a = jax.vmap(
-            lambda o: jax.lax.dynamic_slice(reads, (o,), (SEGR,)))(aoff)
-        b = jax.vmap(
-            lambda o: jax.lax.dynamic_slice(cns, (o,), (LBW,)))(w0)
+    def chunk(a, b, alen, blen, b16):
         ai = a.astype(jnp.int32)
         bi = b.astype(jnp.int32)
         # upsample the stride-16 band base to per-row, monotone + clipped
@@ -218,12 +211,9 @@ def seg_align_tb(
 
         (i_f, j_f, _s, _d), mvp = jax.lax.scan(
             tstep, (i0, jj0, jnp.zeros_like(i0), done0), None, length=Tp)
-        return carry, (score, jnp.maximum(j_f, 0), end_col, mvp)
+        return score, jnp.maximum(j_f, 0), end_col, mvp
 
-    _, (score, b_beg, b_end, mvp) = jax.lax.scan(
-        chunk, 0,
-        (seg_aoff, seg_alen, seg_w0, seg_blen, seg_b16))
-    return score, b_beg, b_end, mvp
+    return chunk(seg_a, seg_b, seg_alen, seg_blen, seg_b16)
 
 
 def unpack_moves(mvp: np.ndarray) -> np.ndarray:

@@ -418,7 +418,6 @@ class _SegState:
             flat[offs[i]: offs[i] + len(r)] = r
         self.lens = lens
         self.flat_offs = offs
-        self.reads_d = jnp.asarray(flat)
         self.flat = flat
         # colmap16[i]: int32 cns column at read rows 0,16,32,... (absolute)
         self.colmap16: list = [None] * len(lens)
@@ -523,42 +522,50 @@ def _seg_align_pass(unit: LayUnitig, st: _SegState, offs, cns,
     rows, b16s, spans = _build_segments(st, nreads, Lc)
     if not rows:
         return
-    Bc = 512
+    # one dispatch per Bc-segment chunk (the multi-chunk lax.scan and
+    # the flat-bank device gathers both faulted the remote TPU worker at
+    # genome scale); Bc=1024 keeps the dispatch count ~55/iteration on
+    # E. coli while small unitigs use narrower pow2 tiers
     Nseg = len(rows)
-    # quarter-pow2 chunk tiers + pow2 consensus tiers: iteration-varying
-    # shapes otherwise recompile the kernel EVERY iteration (~20-40 s)
-    C = (Nseg + Bc - 1) // Bc
-    Ct = 1
-    while Ct < C:
-        Ct = Ct + max(1, Ct // 4)
-    C = Ct
+    Bc = 1 << max(8, min(10, (Nseg - 1).bit_length()))
+    n_disp = (Nseg + Bc - 1) // Bc
+    Np = n_disp * Bc
     NB = SEGR // 16 + 2
-    arr = np.zeros((C * Bc, 5), np.int64)
+    arr = np.zeros((Np, 5), np.int64)
     arr[:Nseg] = np.asarray(rows, np.int64)
-    b16 = np.zeros((C * Bc, NB), np.int16)
+    b16 = np.zeros((Np, NB), np.int16)
     b16[:Nseg] = np.stack(b16s)
-    seg_aoff = (st.flat_offs[arr[:, 0]] + arr[:, 1]).astype(np.int32)
+    seg_aoff = (st.flat_offs[arr[:, 0]] + arr[:, 1]).astype(np.int64)
     seg_alen = arr[:, 2].astype(np.int32)
     seg_alen[Nseg:] = 0
+    seg_w0 = arr[:, 3].astype(np.int64)
+    seg_bl = arr[:, 4].astype(np.int32)
     from .zmo import pad_pow2 as _pp2
 
     cns_pad = np.full(_pp2(Lc + S_LBW + 8), 4, np.uint8)
     cns_pad[:Lc] = cns
     open_i, open_d = ga, gb
-    score, b_beg, b_end, mvp = seg_align_tb(
-        st.reads_d, jnp.asarray(cns_pad),
-        jnp.asarray(seg_aoff.reshape(C, Bc)),
-        jnp.asarray(seg_alen.reshape(C, Bc)),
-        jnp.asarray(arr[:, 3].astype(np.int32).reshape(C, Bc)),
-        jnp.asarray(arr[:, 4].astype(np.int32).reshape(C, Bc)),
-        jnp.asarray(b16.reshape(C, Bc, NB)),
-        SEGR=SEGR, LBW=S_LBW, W=S_W, T=S_T,
-        match=p.match, mismatch=p.mismatch,
-        open_i=open_i, open_d=open_d, ext=p.refine_ext)
-    score = np.asarray(score).reshape(-1)
-    b_beg = np.asarray(b_beg).reshape(-1)
-    mv_all = unpack_moves(np.asarray(mvp)).transpose(0, 2, 1).reshape(
-        C * Bc, -1)   # [seg, T] backward streams
+    rowsA = np.arange(SEGR, dtype=np.int64)[None, :]
+    rowsB = np.arange(S_LBW, dtype=np.int64)[None, :]
+    outs = []
+    for d0 in range(n_disp):
+        sl = slice(d0 * Bc, (d0 + 1) * Bc)
+        a_dense = st.flat[np.minimum(seg_aoff[sl, None] + rowsA,
+                                     len(st.flat) - 1)]
+        b_dense = cns_pad[np.minimum(seg_w0[sl, None] + rowsB,
+                                     len(cns_pad) - 1)]
+        outs.append(seg_align_tb(
+            jnp.asarray(a_dense), jnp.asarray(b_dense),
+            jnp.asarray(seg_alen[sl]), jnp.asarray(seg_bl[sl]),
+            jnp.asarray(b16[sl]),
+            SEGR=SEGR, LBW=S_LBW, W=S_W, T=S_T,
+            match=p.match, mismatch=p.mismatch,
+            open_i=open_i, open_d=open_d, ext=p.refine_ext))
+    score = np.concatenate([np.asarray(o[0]) for o in outs])
+    b_beg = np.concatenate([np.asarray(o[1]) for o in outs])
+    mv_all = np.concatenate([
+        unpack_moves(np.asarray(o[3])[None]).transpose(0, 2, 1).reshape(
+            Bc, -1) for o in outs])   # [seg, T] backward streams
     fallbacks = 0
     for rid in range(nreads):
         first, S, r0s = spans[rid]
@@ -684,9 +691,16 @@ def _seg_align_pass(unit: LayUnitig, st: _SegState, offs, cns,
 
 
 def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
-                     return_offs: bool = False):
+                     return_offs: bool = False, ckpt: str | None = None):
     """Iterative DAG consensus for one unitig; returns consensus codes
-    (and the final read offsets when return_offs)."""
+    (and the final read offsets when return_offs).
+
+    ckpt: optional npz path saved after every iteration so a killed run
+    (e.g. tunnel outage, worker crash) resumes at the next iteration
+    instead of restarting — genome-scale failure recovery (SURVEY §5.3).
+    """
+    import os
+
     p = p or CnsParams()
     cns = _gen_backbone(unit)
     nreads = len(unit.reads)
@@ -705,7 +719,21 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
     prev_cns = None
     prev_agree = -1
     prev_offs = list(offs)
-    for it in range(p.n_iter):
+    start_it = 0
+    if ckpt and os.path.exists(ckpt):
+        z = np.load(ckpt, allow_pickle=True)
+        start_it = int(z["it"])
+        cns = z["cns"]
+        offs = [int(v) for v in z["offs"]]
+        prev_agree = float(z["prev_agree"])
+        prev_offs = [int(v) for v in z["prev_offs"]]
+        prev_cns = z["prev_cns"] if z["prev_cns"].size else None
+        if st is not None:
+            st.colmap16 = [c if c is not None and getattr(c, "size", 0)
+                           else None for c in z["colmap16"]]
+        log("cns %s: resumed at iteration %d from %s", unit.name,
+            start_it + 1, ckpt)
+    for it in range(start_it, p.n_iter):
         dag = DagCns(p.ref_penalty, p.alt_penalty)
         dag.set_backbone(cns)
         agree = 0
@@ -755,6 +783,17 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
         log("cns %s iter %d: %d reads aligned, len %d -> %d, score %.1f",
             unit.name, it + 1, len(pending), len(cns), len(new_cns), dag_score)
         cns = new_cns
+        if ckpt:
+            cm = ([c if c is not None else np.zeros(0, np.int64)
+                   for c in st.colmap16] if st is not None else [])
+            np.savez(ckpt + ".tmp.npz", it=it + 1, cns=cns,
+                     offs=np.asarray(offs, np.int64),
+                     prev_agree=prev_agree,
+                     prev_offs=np.asarray(prev_offs, np.int64),
+                     prev_cns=(prev_cns if prev_cns is not None
+                               else np.zeros(0, np.uint8)),
+                     colmap16=np.array(cm, dtype=object))
+            os.replace(ckpt + ".tmp.npz", ckpt)
         if len(cns) == 0:
             break
     return (cns, offs) if return_offs else cns

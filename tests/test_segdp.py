@@ -73,23 +73,26 @@ def test_seg_align_matches_oracle(seed):
         aoff = k * 1024
         reads[aoff: aoff + len(src)] = src
         segs.append((aoff, len(src), 0, 200 + 56, off))
-    aoffs = np.array([[s[0] for s in segs]], np.int32)
+    aoffs = np.array([[s[0] for s in segs]], np.int64)
     alens = np.array([[s[1] for s in segs]], np.int32)
-    w0s = np.array([[s[2] for s in segs]], np.int32)
+    w0s = np.array([[s[2] for s in segs]], np.int64)
     blens = np.array([[s[3] for s in segs]], np.int32)
     b16 = np.zeros((1, Bc, NB), np.int16)
     for k, s in enumerate(segs):
         rows = np.arange(NB) * 16
         b16[0, k] = np.clip(s[4] + rows - W // 2, 0, LBW - 1)
+    a_dense = reads[np.minimum(aoffs[0][:, None] + np.arange(SEGR),
+                               len(reads) - 1)]
+    b_dense = cns[np.minimum(w0s[0][:, None] + np.arange(LBW),
+                             len(cns) - 1)]
     score, b_beg, b_end, mvp = seg_align_tb(
-        jnp.asarray(reads), jnp.asarray(cns),
-        jnp.asarray(aoffs), jnp.asarray(alens), jnp.asarray(w0s),
-        jnp.asarray(blens), jnp.asarray(b16),
+        jnp.asarray(a_dense), jnp.asarray(b_dense),
+        jnp.asarray(alens[0]), jnp.asarray(blens[0]), jnp.asarray(b16[0]),
         SEGR=SEGR, LBW=LBW, W=W, T=T,
         open_i=-2, open_d=-3)
-    score = np.asarray(score)[0]
-    b_beg = np.asarray(b_beg)[0]
-    mv = unpack_moves(np.asarray(mvp))[0]     # [T, Bc]
+    score = np.asarray(score)
+    b_beg = np.asarray(b_beg)
+    mv = unpack_moves(np.asarray(mvp)[None])[0]     # [T, Bc]
     for k, (aoff, ln, w0, blen, off) in enumerate(segs):
         a = reads[aoff: aoff + ln]
         b = cns[w0: w0 + blen]
@@ -108,10 +111,11 @@ def test_seg_align_empty_and_padding():
     NB = SEGR // 16 + 2
     reads = np.full(2048, 4, np.uint8)
     cns = np.full(LBW + 512, 0, np.uint8)
-    z = np.zeros((1, 2), np.int32)
+    z = np.zeros(2, np.int32)
     score, b_beg, b_end, mvp = seg_align_tb(
-        jnp.asarray(reads), jnp.asarray(cns),
-        z, z, z, z, np.zeros((1, 2, NB), np.int16),
+        jnp.asarray(np.full((2, SEGR), 4, np.uint8)),
+        jnp.asarray(np.zeros((2, LBW), np.uint8)),
+        z, z, np.zeros((2, NB), np.int16),
         SEGR=SEGR, LBW=LBW, W=W, T=T)
-    mv = unpack_moves(np.asarray(mvp))[0]
+    mv = unpack_moves(np.asarray(mvp)[None])[0]
     assert np.all(mv == 3)   # alen=0 -> no moves
