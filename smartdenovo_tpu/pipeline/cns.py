@@ -690,6 +690,21 @@ def _seg_align_pass(unit: LayUnitig, st: _SegState, offs, cns,
             unit.name, fallbacks)
 
 
+def _save_cns_ckpt(ckpt, it, cns, offs, prev_agree, prev_offs, prev_cns, st):
+    import os
+
+    cm = ([c if c is not None else np.zeros(0, np.int64)
+           for c in st.colmap16] if st is not None else [])
+    np.savez(ckpt + ".tmp.npz", it=it, cns=cns,
+             offs=np.asarray(offs, np.int64),
+             prev_agree=prev_agree,
+             prev_offs=np.asarray(prev_offs, np.int64),
+             prev_cns=(prev_cns if prev_cns is not None
+                       else np.zeros(0, np.uint8)),
+             colmap16=np.array(cm, dtype=object))
+    os.replace(ckpt + ".tmp.npz", ckpt)
+
+
 def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
                      return_offs: bool = False, ckpt: str | None = None):
     """Iterative DAG consensus for one unitig; returns consensus codes
@@ -742,6 +757,15 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
         # reference wtcns: -O in round 1, asymmetric -I/-D afterwards
         ga = p.gap if it == 0 else p.gap_ins
         gb = p.gap if it == 0 else p.gap_del
+        if use_seg:
+            # seed (idempotent) BEFORE the align pass so the column maps
+            # can be checkpointed separately — probe-anchor seeding is
+            # several minutes of dispatches at genome scale and must not
+            # be repaid after a mid-iteration tunnel outage
+            _seed_colmaps(unit, st, offs, cns, p)
+            if ckpt:
+                _save_cns_ckpt(ckpt, it, cns, offs, prev_agree, prev_offs,
+                               prev_cns, st)
         itr = (_seg_align_pass(unit, st, offs, cns, p, ga, gb) if use_seg
                else _align_pass(unit, offs, cns, p, ga, gb))
         for rid, sc, beg, end, ra, rb_ in itr:
@@ -784,16 +808,8 @@ def consensus_unitig(unit: LayUnitig, p: CnsParams | None = None,
             unit.name, it + 1, len(pending), len(cns), len(new_cns), dag_score)
         cns = new_cns
         if ckpt:
-            cm = ([c if c is not None else np.zeros(0, np.int64)
-                   for c in st.colmap16] if st is not None else [])
-            np.savez(ckpt + ".tmp.npz", it=it + 1, cns=cns,
-                     offs=np.asarray(offs, np.int64),
-                     prev_agree=prev_agree,
-                     prev_offs=np.asarray(prev_offs, np.int64),
-                     prev_cns=(prev_cns if prev_cns is not None
-                               else np.zeros(0, np.uint8)),
-                     colmap16=np.array(cm, dtype=object))
-            os.replace(ckpt + ".tmp.npz", ckpt)
+            _save_cns_ckpt(ckpt, it + 1, cns, offs, prev_agree, prev_offs,
+                           prev_cns, st)
         if len(cns) == 0:
             break
     return (cns, offs) if return_offs else cns
