@@ -122,3 +122,33 @@ def test_parse_lay_roundtrip(tmp_path):
     assert units[0].offs == [0, 5]
     assert units[0].backbone == [True, False]
     assert codes_to_seq(units[0].reads[0]) == "ACGTACGTAC"
+
+
+def test_checkpoint_resume_matches_straight_run(tmp_path):
+    """consensus_unitig(ckpt=...) resumed mid-run must finish with the
+    same consensus as an uninterrupted run (genome-scale failure
+    recovery, SURVEY §5.3)."""
+    import numpy as np
+
+    from smartdenovo_tpu.pipeline.cns import CnsParams, LayUnitig, consensus_unitig
+    from smartdenovo_tpu.utils.simulate import random_genome, simulate_reads
+
+    rng = np.random.default_rng(31)
+    g = random_genome(rng, 3000)
+    names, seqs = simulate_reads(g, coverage=8, mean_len=1200, err=0.1,
+                                 seed=32, min_len=600)
+    order = np.argsort([int(n.split("_")[-2]) for n in names])
+    unit = LayUnitig(
+        name="u",
+        reads=[np.asarray(seqs[i]) for i in order],
+        offs=[int(names[i].split("_")[-2]) for i in order],
+        backbone=[True] * len(order))
+    p = CnsParams(n_iter=3, seg_engine=False)
+    straight = consensus_unitig(unit, p)
+    ck = str(tmp_path / "ck.npz")
+    # run 1: stop after one iteration (simulated interruption)
+    consensus_unitig(unit, CnsParams(n_iter=1, seg_engine=False), ckpt=ck)
+    # run 2: resume from the checkpoint and finish
+    resumed = consensus_unitig(unit, p, ckpt=ck)
+    assert len(resumed) == len(straight)
+    assert np.array_equal(resumed, straight)
